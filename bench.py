@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Throughput benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Measures steady-state decode tokens/s on the flagship config (Gemma-2B
+geometry, Q4_0 weights, batch-1 greedy — the reference's own headline
+workload, /root/reference/src/app.cpp:36) on whatever accelerator is
+visible. `vs_baseline` is the fraction of the analytic per-chip HBM roofline
+achieved (BASELINE.md: the reference publishes no numbers; the target is
+>= 0.90 of roofline).
+
+Env overrides: BENCH_MODEL (gemma2b|gemma7b|tiny), BENCH_FMT (q4_0|q8_0|bf16),
+BENCH_TOKENS, BENCH_BATCH.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+
+def hbm_bandwidth_gbs() -> float:
+    """Per-chip HBM bandwidth for the visible device (GB/s)."""
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", str(dev)).lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 819.0
+    if "v5p" in kind or "v5" in kind:
+        return 2765.0
+    if "v4" in kind:
+        return 1228.0
+    if "v6" in kind or "trillium" in kind:
+        return 1640.0
+    return 100.0  # CPU / unknown: nominal
+
+
+def param_stream_bytes(params) -> int:
+    """Bytes that must stream from HBM per decoded token (all weights)."""
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(params):
+        total += int(np.prod(leaf.shape)) * leaf.dtype.itemsize
+    return total
+
+
+def main() -> None:
+    from gemma_tpu.models import GEMMA_2B, GEMMA_7B
+    from gemma_tpu.models.config import GemmaConfig
+    from gemma_tpu.runtime import Engine, EngineConfig
+    from gemma_tpu.testing import TINY_CONFIG, make_params
+
+    model = os.environ.get("BENCH_MODEL", "gemma2b")
+    fmt = os.environ.get("BENCH_FMT", "q4_0")
+    n_tokens = int(os.environ.get("BENCH_TOKENS", "128"))
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+
+    cfg = {"gemma2b": GEMMA_2B, "gemma7b": GEMMA_7B, "tiny": TINY_CONFIG}[model]
+    if model == "tiny":
+        fmt = "bf16"
+
+    params = make_params(cfg, fmt=fmt, fill="random")
+    params = jax.device_put(params)
+    eng = Engine(cfg, params, EngineConfig(max_seq_len=512, max_batch=batch))
+
+    prompt = list(range(2, 2 + 64))
+    prompts = [prompt] * batch
+
+    # warmup: compile prefill + fused decode loop
+    eng.generate_fused(prompts, max_new_tokens=8)
+
+    t0 = time.perf_counter()
+    eng.generate_fused(prompts, max_new_tokens=n_tokens)
+    dt = time.perf_counter() - t0
+
+    toks_per_s = n_tokens * batch / dt
+    weight_bytes = param_stream_bytes(params)
+    roofline = hbm_bandwidth_gbs() * 1e9 / weight_bytes  # tokens/s/chip upper bound
+    print(
+        json.dumps(
+            {
+                "metric": f"decode_tokens_per_sec_{model}_{fmt}_b{batch}",
+                "value": round(toks_per_s, 2),
+                "unit": "tokens/s",
+                "vs_baseline": round(toks_per_s / roofline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

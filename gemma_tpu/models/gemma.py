@@ -1,0 +1,152 @@
+"""Functional Gemma decoder forward pass (pure JAX).
+
+Re-implements the math of the reference's per-token graph builder
+(`/root/reference/src/gemma_model.cpp:665-747` and helpers, see SURVEY.md
+§3.3) as a single traced function: embed·√d → N × [RMSNorm → QKV → NEOX RoPE
+→ cached attention → out-proj → residual → RMSNorm → GeGLU FFN → residual]
+→ final RMSNorm → tied-embedding logits. Where the reference rebuilds a ggml
+cgraph every token in a scratch arena (`reset_compute_context`,
+gemma_model.cpp:650-663), this function is traced once per shape bucket and
+compiled by XLA.
+
+Conventions (matching llama.cpp GGUF exports):
+* weight matrices are [out_features, in_features]; projections are x @ W.T;
+* RMSNorm weights arrive with the Gemma "+1" already baked in by the GGUF
+  converter, so the graph computes rms(x) * w (like graph_build_norm,
+  gemma_model.cpp:438-442);
+* RoPE is NEOX-style (rotate halves), matching the reference's
+  rope_custom mode 2 with freq_base from config (macro.h:12-18);
+* GQA is general: n_kv_heads may be 1 (Gemma-2B MQA) .. n_heads (7B MHA) —
+  the reference hardcodes MQA (SURVEY.md quirks).
+
+Attention runs through gemma_tpu.ops.attention, which dispatches to Pallas
+flash/decode kernels on TPU with an XLA fallback.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.linear import linear
+from ..runtime.kv_cache import KVCache
+from .config import GemmaConfig
+
+Params = dict[str, Any]
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * w.astype(jnp.float32)).astype(x.dtype)
+
+
+def apply_rope(x: jax.Array, positions: jax.Array, base: float) -> jax.Array:
+    """NEOX rotary embedding. x: [B, T, H, D]; positions: [B, T] int32."""
+    half = x.shape[-1] // 2
+    freqs = base ** (-jnp.arange(half, dtype=jnp.float32) / half)
+    theta = positions.astype(jnp.float32)[:, :, None, None] * freqs  # [B,T,1,half]
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    xf = x.astype(jnp.float32)
+    x1, x2 = xf[..., :half], xf[..., half:]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _sdpa(
+    q: jax.Array,  # [B, T, Hq, D] (already scaled)
+    k: jax.Array,  # [B, S, Hkv, D]
+    v: jax.Array,  # [B, S, Hkv, D]
+    positions: jax.Array,  # [B, T] absolute query positions
+    kv_limit: jax.Array,  # [B] number of valid cache slots
+    attn_softcap: float = 0.0,
+) -> jax.Array:
+    """Masked GQA attention over the cache (XLA fallback path).
+
+    Replaces the reference's materialized QK^T + dense 512×512 −inf mask
+    (gemma_model.cpp:326-335, 454-496) with an on-the-fly position mask.
+    """
+    B, T, Hq, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    G = Hq // Hkv
+    qg = q.reshape(B, T, Hkv, G, D)
+    scores = jnp.einsum("bthgd,bshd->bhgts", qg, k, preferred_element_type=jnp.float32)
+    if attn_softcap:
+        scores = attn_softcap * jnp.tanh(scores / attn_softcap)
+    key_idx = jnp.arange(S, dtype=jnp.int32)
+    valid = (key_idx[None, None, :] <= positions[:, :, None]) & (
+        key_idx[None, None, :] < kv_limit[:, None, None]
+    )  # [B, T, S]
+    scores = jnp.where(valid[:, None, None], scores, -1e30)
+    w = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgts,bshd->bthgd", w.astype(v.dtype), v)
+    return out.reshape(B, T, Hq, D)
+
+
+def decoder_layer(
+    lp: Params,
+    cfg: GemmaConfig,
+    x: jax.Array,  # [B, T, d_model]
+    positions: jax.Array,  # [B, T]
+    cache: KVCache,
+    layer_idx: int,
+    write_index: jax.Array,  # scalar (chunk start) or [B] (per-seq token slot)
+    kv_limit: jax.Array,  # [B] valid cache slots after this write
+) -> tuple[jax.Array, KVCache]:
+    B, T, _ = x.shape
+    h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+    q = linear(h, lp["attn_q"]).reshape(B, T, cfg.n_heads, cfg.head_dim)
+    k = linear(h, lp["attn_k"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+    v = linear(h, lp["attn_v"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+
+    q = apply_rope(q, positions, cfg.rope_base) * jnp.asarray(
+        cfg.effective_query_scale, dtype=x.dtype
+    )
+    k = apply_rope(k, positions, cfg.rope_base)
+
+    if write_index.ndim == 0:
+        cache = cache.write_chunk(layer_idx, write_index, k, v)
+    else:
+        cache = cache.write_token(layer_idx, write_index, k, v)
+    kc, vc = cache.gather_layer(layer_idx)
+
+    attn = _sdpa(q, kc, vc, positions, kv_limit, cfg.attn_softcap)
+    x = x + linear(attn.reshape(B, T, cfg.q_dim), lp["attn_output"])
+
+    h2 = rms_norm(x, lp["ffn_norm"], cfg.rms_eps)
+    gate = jax.nn.gelu(linear(h2, lp["ffn_gate"]).astype(jnp.float32), approximate=True)
+    up = linear(h2, lp["ffn_up"]).astype(jnp.float32)
+    ff = linear((gate * up).astype(x.dtype), lp["ffn_down"])
+    return x + ff, cache
+
+
+def forward(
+    params: Params,
+    cfg: GemmaConfig,
+    tokens: jax.Array,  # [B, T] int32
+    positions: jax.Array,  # [B, T] int32 absolute positions
+    cache: KVCache,
+    write_index: jax.Array,  # scalar chunk start (prefill) or [B] slots (decode)
+    kv_limit: jax.Array,  # [B] valid lengths after write
+) -> tuple[jax.Array, KVCache]:
+    """Full forward. Returns (logits [B, T, vocab] f32, updated cache)."""
+    embed = params["embed"]
+    if hasattr(embed, "fmt"):  # quantized: gather rows, dequant only those
+        from ..quant.qtensor import gather_dequant
+
+        x = gather_dequant(embed, tokens, jnp.bfloat16)
+    else:
+        x = jnp.take(embed, tokens, axis=0).astype(jnp.bfloat16)
+    x = (x.astype(jnp.float32) * (cfg.d_model**0.5)).astype(jnp.bfloat16)
+
+    for i, lp in enumerate(params["layers"]):
+        x, cache = decoder_layer(lp, cfg, x, positions, cache, i, write_index, kv_limit)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    # Tied output head: logits = x @ embed.T (reference: gemma_model.cpp:163)
+    logits = linear(x, params.get("output", params["embed"]), out_dtype=jnp.float32)
+    if cfg.final_softcap:
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
+    return logits, cache

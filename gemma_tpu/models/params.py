@@ -1,0 +1,91 @@
+"""Parameter loading: GGUF checkpoint → JAX parameter pytree.
+
+Replaces the reference's `load_tensors_from_ctx` + `composite_model` wiring
+(`/root/reference/src/gemma_model.cpp:159-194,583-594`): the same
+`token_embd.weight` / `output_norm.weight` / `blk.{i}.*.weight` names are
+mapped into a nested dict pytree. Two serving policies:
+
+* ``mode="quantized"`` (default): block-quantized matrices stay quantized as
+  device-layout QTensors (HBM holds ~4.75-9 bits/weight); dequantization is
+  fused into the Pallas matmul kernels.
+* ``mode="dequant"``: everything dequantized to bf16 at load (the float
+  golden-reference path, config 1 in BASELINE.json).
+
+Norm vectors are always f32. The output head is tied to the embedding when
+no `output.weight` tensor is present (gemma_model.cpp:163).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.constants import GGMLType
+from ..gguf.reader import GGUFReader
+from ..quant import numpy_ref
+from ..quant.qtensor import GGML_TO_FMT, QTensor, from_ggml
+from .config import GemmaConfig
+
+LAYER_TENSORS = (
+    "attn_q", "attn_k", "attn_v", "attn_output",
+    "ffn_gate", "ffn_up", "ffn_down",
+    "attn_norm", "ffn_norm",
+)
+
+_NORM_NAMES = {"attn_norm", "ffn_norm"}
+
+
+def _load_tensor(reader: GGUFReader, name: str, mode: str, *, is_norm: bool = False):
+    ti = reader.tensors[name]
+    raw = reader.tensor_raw(name)
+    if is_norm or ti.ggml_type not in GGML_TO_FMT or mode == "dequant":
+        x = numpy_ref.dequantize(raw, ti.ggml_type, ti.shape)
+        return np.asarray(x, np.float32) if is_norm else np.asarray(x, np.float32).astype(jnp.bfloat16)
+    return from_ggml(raw, ti.ggml_type, ti.shape)
+
+
+def load_params(
+    reader: GGUFReader,
+    mode: str = "quantized",
+    device_put: bool = True,
+    sharding_fn=None,
+) -> tuple[GemmaConfig, dict[str, Any]]:
+    """Load (config, params). `sharding_fn(path, shape) -> Sharding | None`
+    lets the parallel layer place each array shard-by-shard as it streams
+    off the mmap (host never holds more than one tensor densely)."""
+    cfg = GemmaConfig.from_gguf(reader)
+    params: dict[str, Any] = {
+        "embed": _load_tensor(reader, "token_embd.weight", mode),
+        "final_norm": _load_tensor(reader, "output_norm.weight", mode, is_norm=True),
+        "layers": [],
+    }
+    if "output.weight" in reader.tensors:
+        params["output"] = _load_tensor(reader, "output.weight", mode)
+    for i in range(cfg.n_layers):
+        lp = {}
+        for t in LAYER_TENSORS:
+            lp[t] = _load_tensor(reader, f"blk.{i}.{t}.weight", mode, is_norm=t in _NORM_NAMES)
+        params["layers"].append(lp)
+
+    if device_put:
+        def put(path_leaf):
+            path, leaf = path_leaf
+            if sharding_fn is not None:
+                sh = sharding_fn(path, getattr(leaf, "shape", None))
+                if sh is not None:
+                    return jax.device_put(leaf, sh)
+            return jax.device_put(leaf)
+
+        params = jax.tree_util.tree_map_with_path(
+            lambda p, l: put((p, l)), params
+        )
+    return cfg, params
+
+
+def param_bytes(params) -> int:
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(params):
+        total += leaf.size * leaf.dtype.itemsize
+    return total

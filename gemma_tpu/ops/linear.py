@@ -1,0 +1,45 @@
+"""Linear / matmul dispatch.
+
+All model projections route through :func:`linear` so quantized weights can
+be served by fused Pallas dequant+matmul kernels on TPU, with an XLA
+dequantize-then-dot fallback elsewhere. This is the TPU-native analogue of
+the reference's patched-ggml dispatch into `hpc.cpp:216 mul_mat` — but where
+the reference picks CPU-vs-iGPU per call with a static 0.9 row split
+(`hpc.cpp:245-248`), here the backend choice is per-platform and the "split"
+is the compiler's tiling.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..quant.qtensor import QTensor, dequant
+
+# Set by gemma_tpu.ops.quant_matmul at import time on TPU; maps fmt -> fn.
+_KERNELS: dict[str, object] = {}
+_FORCE_FALLBACK = False
+
+
+def register_kernel(fmt: str, fn) -> None:
+    _KERNELS[fmt] = fn
+
+
+def set_force_fallback(flag: bool) -> None:
+    """Testing hook: bypass Pallas kernels and use the XLA dequant path."""
+    global _FORCE_FALLBACK
+    _FORCE_FALLBACK = flag
+
+
+def linear(x: jax.Array, w, *, out_dtype=None) -> jax.Array:
+    """y = x @ w.T for w either a dense [out, in] array or a QTensor.
+
+    x: [..., in]; returns [..., out] in x.dtype (or out_dtype).
+    """
+    out_dtype = out_dtype or x.dtype
+    if isinstance(w, QTensor):
+        fn = None if _FORCE_FALLBACK else _KERNELS.get(w.fmt)
+        if fn is not None:
+            return fn(x, w).astype(out_dtype)
+        wd = dequant(w, dtype=jnp.bfloat16)
+        return jnp.dot(x, wd.T, preferred_element_type=jnp.float32).astype(out_dtype)
+    return jnp.dot(x, w.T, preferred_element_type=jnp.float32).astype(out_dtype)

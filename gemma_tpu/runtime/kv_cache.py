@@ -1,0 +1,144 @@
+"""KV-cache: fixed-capacity, jit-carried, optionally int8-quantized.
+
+TPU-native replacement for the reference's per-layer ggml cache tensors +
+head/n bookkeeping (`/root/reference/src/gemma_model.h:75-97`,
+`gemma_model.cpp:361-401,428-436`). Differences by design:
+
+* one stacked array per K/V across all layers — a single pytree leaf,
+  donated through jit so decode updates are in-place in HBM;
+* per-sequence valid lengths (`length[b]`) instead of a single global
+  `head`/`n` — multiple independent sequences batch together (the
+  reference's `cells`/seq-id machinery is dead code; here it's real);
+* writes are `dynamic_update_slice` / scatter under jit, not graph-rebuilt
+  views (`gemma_model.cpp:499-518`);
+* optional int8 per-(token, head) quantization halving HBM traffic.
+
+The paged variant lives in runtime/paged_kv.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..models.config import GemmaConfig
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class KVCache:
+    """Dense cache: k/v of shape [L, B, S, H_kv, D]; length[b] = #valid."""
+
+    k: Any
+    v: Any
+    length: jax.Array  # i32 [B]
+    # int8 mode: per-(layer, batch, position, head) scales, [L, B, S, H_kv]
+    k_scale: Any = None
+    v_scale: Any = None
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.length, self.k_scale, self.v_scale), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        config: GemmaConfig,
+        batch: int,
+        max_len: int,
+        dtype=jnp.bfloat16,
+        quantized: bool = False,
+    ) -> "KVCache":
+        shape = (config.n_layers, batch, max_len, config.n_kv_heads, config.head_dim)
+        if quantized:
+            return cls(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                length=jnp.zeros(batch, jnp.int32),
+                k_scale=jnp.zeros(shape[:-1], jnp.float32),
+                v_scale=jnp.zeros(shape[:-1], jnp.float32),
+            )
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            length=jnp.zeros(batch, jnp.int32),
+        )
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def batch(self) -> int:
+        return self.k.shape[1]
+
+    # -- quantization helpers ---------------------------------------------
+    @staticmethod
+    def _quantize(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Per-(token, head) symmetric int8: x [B, T, H, D]."""
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+        scale = amax / 127.0
+        inv = jnp.where(scale > 0, 1.0 / jnp.where(scale == 0, 1.0, scale), 0.0)
+        q = jnp.round(x.astype(jnp.float32) * inv[..., None]).astype(jnp.int8)
+        return q, scale
+
+    def gather_layer(self, layer: int) -> tuple[jax.Array, jax.Array]:
+        """Dequantized [B, S, H, D] views of layer `layer` (fallback path)."""
+        k, v = self.k[layer], self.v[layer]
+        if self.quantized:
+            k = k.astype(jnp.bfloat16) * self.k_scale[layer][..., None].astype(jnp.bfloat16)
+            v = v.astype(jnp.bfloat16) * self.v_scale[layer][..., None].astype(jnp.bfloat16)
+        return k, v
+
+    # -- writes ------------------------------------------------------------
+    def write_chunk(self, layer: int, start: jax.Array, k_new: jax.Array, v_new: jax.Array) -> "KVCache":
+        """Write a [B, T, H, D] chunk at uniform offset `start` (prefill)."""
+        def upd(buf, val):
+            return jax.lax.dynamic_update_slice(buf, val[None], (layer, 0, start, 0, 0))
+
+        changes = {}
+        if self.quantized:
+            qk, sk = self._quantize(k_new)
+            qv, sv = self._quantize(v_new)
+            changes = dict(
+                k=upd(self.k, qk),
+                v=upd(self.v, qv),
+                k_scale=jax.lax.dynamic_update_slice(self.k_scale, sk[None], (layer, 0, start, 0)),
+                v_scale=jax.lax.dynamic_update_slice(self.v_scale, sv[None], (layer, 0, start, 0)),
+            )
+        else:
+            changes = dict(k=upd(self.k, k_new.astype(self.k.dtype)), v=upd(self.v, v_new.astype(self.v.dtype)))
+        return dataclasses.replace(self, **changes)
+
+    def write_token(self, layer: int, index: jax.Array, k_new: jax.Array, v_new: jax.Array) -> "KVCache":
+        """Scatter a single token per sequence: k_new [B, 1, H, D] written at
+        per-batch position index[b] (decode)."""
+        b = jnp.arange(self.batch)
+        if self.quantized:
+            qk, sk = self._quantize(k_new)
+            qv, sv = self._quantize(v_new)
+            return dataclasses.replace(
+                self,
+                k=self.k.at[layer, b, index].set(qk[:, 0]),
+                v=self.v.at[layer, b, index].set(qv[:, 0]),
+                k_scale=self.k_scale.at[layer, b, index].set(sk[:, 0]),
+                v_scale=self.v_scale.at[layer, b, index].set(sv[:, 0]),
+            )
+        return dataclasses.replace(
+            self,
+            k=self.k.at[layer, b, index].set(k_new[:, 0].astype(self.k.dtype)),
+            v=self.v.at[layer, b, index].set(v_new[:, 0].astype(self.v.dtype)),
+        )
+
+    def advance(self, n: jax.Array) -> "KVCache":
+        return dataclasses.replace(self, length=self.length + n)

@@ -1,0 +1,194 @@
+"""Test/benchmark fixtures: fabricate valid Gemma GGUF checkpoints.
+
+There is no network egress in CI, so tests and benches fabricate real GGUF
+files (through the public writer) at arbitrary scale — from 2-layer toys to
+full Gemma-7B geometry with random weights (throughput does not depend on
+weight values).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from .gguf.constants import GGMLType, Keys
+from .gguf.writer import GGUFWriter
+from .models.config import GemmaConfig
+from .quant import numpy_ref
+
+TINY_CONFIG = GemmaConfig(
+    vocab_size=512, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+    head_dim=16, d_ff=128, context_length=128,
+)
+
+
+def make_params(
+    cfg: GemmaConfig,
+    fmt: str = "q4_0",
+    seed: int = 0,
+    fill: str = "random",
+):
+    """Fabricate a parameter pytree directly (no GGUF round-trip).
+
+    Used for compile checks and throughput benchmarks at full model scale,
+    where writing a multi-GB GGUF first would be wasted IO. `fmt` is a
+    QTensor format name or 'bf16'. With fill='zeros' payloads are zeros
+    (fast); scales are still nonzero so nothing degenerates.
+    """
+    import jax.numpy as jnp
+
+    from .quant.qtensor import QTensor
+
+    rng = np.random.default_rng(seed)
+
+    def mat(rows: int, cols: int):
+        if fmt == "bf16":
+            if fill == "zeros":
+                return np.zeros((rows, cols), dtype=jnp.bfloat16)
+            return (rng.standard_normal((rows, cols), dtype=np.float32) * 0.05).astype(jnp.bfloat16)
+
+        def payload(shape, dtype):
+            if fill == "zeros":
+                return np.zeros(shape, dtype)
+            if np.issubdtype(dtype, np.unsignedinteger):
+                return rng.integers(0, 256, size=shape, dtype=np.uint8).view(dtype)
+            return rng.integers(-100, 100, size=shape, dtype=np.int8).view(dtype)
+
+        def scales(shape):
+            return (rng.uniform(0.5, 1.0, size=shape) * 0.01).astype(np.float32)
+
+        if fmt == "q4_0":
+            arrays = {"qs": payload((rows, cols // 2), np.uint8), "scales": scales((rows, cols // 32))}
+        elif fmt == "q8_0":
+            arrays = {"qs": payload((rows, cols), np.int8), "scales": scales((rows, cols // 32))}
+        elif fmt == "q4_k":
+            arrays = {
+                "qs": payload((rows, cols // 2), np.uint8),
+                "sc": rng.integers(0, 64, size=(rows, cols // 32), dtype=np.uint8),
+                "mn": rng.integers(0, 64, size=(rows, cols // 32), dtype=np.uint8),
+                "d": scales((rows, cols // 256)),
+                "dmin": scales((rows, cols // 256)),
+            }
+        elif fmt == "q6_k":
+            arrays = {
+                "ql": payload((rows, cols // 2), np.uint8),
+                "qh": payload((rows, cols // 4), np.uint8),
+                "sc": rng.integers(-64, 64, size=(rows, cols // 16), dtype=np.int8),
+                "d": scales((rows, cols // 256)),
+            }
+        else:
+            raise ValueError(fmt)
+        return QTensor(fmt, (rows, cols), arrays)
+
+    def norm(d):
+        return np.ones(d, np.float32)
+
+    params = {
+        "embed": mat(cfg.vocab_size, cfg.d_model),
+        "final_norm": norm(cfg.d_model),
+        "layers": [
+            {
+                "attn_q": mat(cfg.q_dim, cfg.d_model),
+                "attn_k": mat(cfg.kv_dim, cfg.d_model),
+                "attn_v": mat(cfg.kv_dim, cfg.d_model),
+                "attn_output": mat(cfg.d_model, cfg.q_dim),
+                "ffn_gate": mat(cfg.d_ff, cfg.d_model),
+                "ffn_up": mat(cfg.d_ff, cfg.d_model),
+                "ffn_down": mat(cfg.d_model, cfg.d_ff),
+                "attn_norm": norm(cfg.d_model),
+                "ffn_norm": norm(cfg.d_model),
+            }
+            for _ in range(cfg.n_layers)
+        ],
+    }
+    return params
+
+
+def default_vocab(n: int) -> tuple[list[str], list[float], list[int]]:
+    """SPM-style vocab: specials, byte-fallback tokens, then words."""
+    tokens = ["<pad>", "<bos>", "<eos>", "<unk>"]
+    types = [3, 3, 3, 2]
+    scores = [0.0, 0.0, 0.0, 0.0]
+    for b in range(256):
+        tokens.append(f"<0x{b:02X}>")
+        types.append(6)
+        scores.append(0.0)
+    words = ["▁the", "▁hello", "▁world", "▁a", "he", "llo", "wor", "ld", "▁he",
+             "▁wo", "l", "o", "r", "d", "e", "h", "w", "a", "t", "▁", "s", "in",
+             "er", "an", "on", "▁to", "▁of", "nd", "▁and", "ing"]
+    i = 0
+    while len(tokens) < n:
+        if i < len(words):
+            w = words[i]
+        else:
+            w = f"tok{i}"
+        tokens.append(w)
+        types.append(1)
+        scores.append(-float(len(tokens)))  # longer id -> lower score
+        i += 1
+    return tokens[:n], scores[:n], types[:n]
+
+
+def make_gguf(
+    path: str | Path,
+    cfg: GemmaConfig = TINY_CONFIG,
+    *,
+    weight_type: GGMLType = GGMLType.F32,
+    seed: int = 0,
+    scale: float = 0.05,
+    arch: str = "gemma",
+) -> Path:
+    """Write a GGUF checkpoint with random N(0, scale²) weights.
+
+    `weight_type` applies to all 2-D matrices; norms stay F32. Matrix shapes
+    follow the llama.cpp export convention ([out, in] logical numpy order).
+    """
+    rng = np.random.default_rng(seed)
+    path = Path(path)
+    w = GGUFWriter(path)
+    w.add_kv(Keys.ARCHITECTURE, arch)
+    w.add_kv(Keys.NAME, "gemma-tpu-synthetic")
+    w.add_kv(f"{arch}.context_length", cfg.context_length)
+    w.add_kv(f"{arch}.embedding_length", cfg.d_model)
+    w.add_kv(f"{arch}.block_count", cfg.n_layers)
+    w.add_kv(f"{arch}.feed_forward_length", cfg.d_ff)
+    w.add_kv(f"{arch}.attention.head_count", cfg.n_heads)
+    w.add_kv(f"{arch}.attention.head_count_kv", cfg.n_kv_heads)
+    w.add_kv(f"{arch}.attention.key_length", cfg.head_dim)
+    w.add_kv(f"{arch}.attention.value_length", cfg.head_dim)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", cfg.rms_eps)
+    w.add_kv(f"{arch}.rope.freq_base", cfg.rope_base)
+
+    tokens, scores, types = default_vocab(cfg.vocab_size)
+    w.add_kv(Keys.TOKENIZER_MODEL, "llama")
+    w.add_kv(Keys.TOKENS, tokens)
+    w.add_kv(Keys.SCORES, np.asarray(scores, np.float32))
+    w.add_kv(Keys.TOKEN_TYPE, np.asarray(types, np.int32))
+    w.add_kv(Keys.BOS_ID, 1)
+    w.add_kv(Keys.EOS_ID, 2)
+    w.add_kv(Keys.UNK_ID, 3)
+    w.add_kv(Keys.PAD_ID, 0)
+
+    def mat(name: str, out_d: int, in_d: int, t: GGMLType = weight_type):
+        x = rng.normal(0.0, scale, size=(out_d, in_d)).astype(np.float32)
+        w.add_tensor(name, numpy_ref.quantize(x, t), (out_d, in_d), t)
+
+    def norm(name: str, d: int):
+        # +1 baked in, as llama.cpp's Gemma converter does
+        x = (1.0 + rng.normal(0.0, 0.02, size=(d,))).astype(np.float32)
+        w.add_tensor(name, x, (d,), GGMLType.F32)
+
+    mat("token_embd.weight", cfg.vocab_size, cfg.d_model)
+    norm("output_norm.weight", cfg.d_model)
+    for i in range(cfg.n_layers):
+        mat(f"blk.{i}.attn_q.weight", cfg.q_dim, cfg.d_model)
+        mat(f"blk.{i}.attn_k.weight", cfg.kv_dim, cfg.d_model)
+        mat(f"blk.{i}.attn_v.weight", cfg.kv_dim, cfg.d_model)
+        mat(f"blk.{i}.attn_output.weight", cfg.d_model, cfg.q_dim)
+        mat(f"blk.{i}.ffn_gate.weight", cfg.d_ff, cfg.d_model)
+        mat(f"blk.{i}.ffn_up.weight", cfg.d_ff, cfg.d_model)
+        mat(f"blk.{i}.ffn_down.weight", cfg.d_model, cfg.d_ff)
+        norm(f"blk.{i}.attn_norm.weight", cfg.d_model)
+        norm(f"blk.{i}.ffn_norm.weight", cfg.d_model)
+    w.write()
+    return path

@@ -1,0 +1,162 @@
+"""SentencePiece-style tokenizer over a GGUF vocab.
+
+The reference's tokenizer is decode-only — prompts are hardcoded token ids
+(`/root/reference/src/gemma_model.cpp:549,749-793`, SURVEY.md quirks). This
+implements both directions from the same GGUF arrays
+(`tokenizer.ggml.{tokens,scores,token_type}`):
+
+* encode: SPM bigram-merge — start from UTF-8 characters, repeatedly merge
+  the adjacent pair whose concatenation is the highest-scoring vocab piece
+  (llama.cpp-compatible for "llama"-model vocabs, which Gemma uses);
+* decode: piece lookup with ``▁``→space and ``<0xXX>`` byte-token handling
+  (generalizing remove_wunderline, gemma_model.cpp:753-760);
+* O(1) piece→id hash map instead of the reference's linear scan
+  (find_token_id, gemma_model.cpp:785-793).
+"""
+from __future__ import annotations
+
+import dataclasses
+import heapq
+
+from ..gguf.constants import Keys, TokenType
+from ..gguf.reader import GGUFReader
+
+_SPACE = "▁"  # ▁
+
+
+@dataclasses.dataclass
+class SpecialTokens:
+    bos: int = -1
+    eos: int = -1
+    unk: int = -1
+    pad: int = -1
+
+
+class Tokenizer:
+    def __init__(
+        self,
+        pieces: list[str],
+        scores: list[float],
+        types: list[int],
+        special: SpecialTokens,
+        add_bos: bool = True,
+    ):
+        self.pieces = pieces
+        self.scores = scores
+        self.types = types
+        self.special = special
+        self.add_bos = add_bos
+        self.piece_to_id = {p: i for i, p in enumerate(pieces)}
+        self.byte_to_id = {}
+        for i, (p, t) in enumerate(zip(pieces, types)):
+            if t == TokenType.BYTE and len(p) == 6 and p.startswith("<0x"):
+                self.byte_to_id[int(p[3:5], 16)] = i
+
+    @classmethod
+    def from_gguf(cls, reader: GGUFReader) -> "Tokenizer":
+        pieces = list(reader.kv(Keys.TOKENS))
+        scores = [float(s) for s in reader.kv(Keys.SCORES, [0.0] * len(pieces))]
+        types = [int(t) for t in reader.kv(Keys.TOKEN_TYPE, [1] * len(pieces))]
+        special = SpecialTokens(
+            bos=int(reader.kv(Keys.BOS_ID, -1)),
+            eos=int(reader.kv(Keys.EOS_ID, -1)),
+            unk=int(reader.kv(Keys.UNK_ID, -1)),
+            pad=int(reader.kv(Keys.PAD_ID, -1)),
+        )
+        return cls(pieces, scores, types, special, add_bos=bool(reader.kv(Keys.ADD_BOS, True)))
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.pieces)
+
+    # -- encode ------------------------------------------------------------
+    def encode(self, text: str, *, add_bos: bool | None = None) -> list[int]:
+        add_bos = self.add_bos if add_bos is None else add_bos
+        ids: list[int] = []
+        if add_bos and self.special.bos >= 0:
+            ids.append(self.special.bos)
+        if not text:
+            return ids
+
+        norm = _SPACE + text.replace(" ", _SPACE)
+
+        # symbols: list of (string, alive) merged in place via linked list
+        sym = list(norm)
+        prev = list(range(-1, len(sym) - 1))
+        nxt = list(range(1, len(sym) + 1))
+        nxt[-1] = -1
+
+        def pair_entry(i: int):
+            j = nxt[i]
+            if j < 0:
+                return None
+            merged = sym[i] + sym[j]
+            tid = self.piece_to_id.get(merged)
+            if tid is None:
+                return None
+            # max-score merge; tie-break on leftmost (i) then shorter
+            return (-self.scores[tid], i, len(merged), merged)
+
+        heap = []
+        for i in range(len(sym)):
+            e = pair_entry(i)
+            if e:
+                heapq.heappush(heap, e)
+
+        alive = [True] * len(sym)
+        while heap:
+            negs, i, mlen, merged = heapq.heappop(heap)
+            j = nxt[i] if i < len(nxt) else -1
+            if not alive[i] or j < 0 or not alive[j] or sym[i] + sym[j] != merged:
+                continue  # stale entry
+            sym[i] = merged
+            alive[j] = False
+            nxt[i] = nxt[j]
+            if nxt[j] >= 0:
+                prev[nxt[j]] = i
+            for cand in (prev[i], i):
+                if cand >= 0 and alive[cand]:
+                    e = pair_entry(cand)
+                    if e:
+                        heapq.heappush(heap, e)
+
+        i = 0
+        while i >= 0:
+            if alive[i]:
+                tid = self.piece_to_id.get(sym[i])
+                if tid is not None and self.types[tid] != TokenType.UNUSED:
+                    ids.append(tid)
+                else:
+                    ids.extend(self._byte_fallback(sym[i]))
+            i = nxt[i]
+        return ids
+
+    def _byte_fallback(self, piece: str) -> list[int]:
+        out = []
+        for b in piece.encode("utf-8"):
+            tid = self.byte_to_id.get(b)
+            if tid is not None:
+                out.append(tid)
+            elif self.special.unk >= 0:
+                out.append(self.special.unk)
+        return out
+
+    # -- decode ------------------------------------------------------------
+    def decode_piece(self, token_id: int) -> str | bytes:
+        p = self.pieces[token_id]
+        t = self.types[token_id]
+        if t == TokenType.BYTE and len(p) == 6 and p.startswith("<0x"):
+            return bytes([int(p[3:5], 16)])
+        if t in (TokenType.CONTROL, TokenType.UNKNOWN):
+            return ""
+        return p.replace(_SPACE, " ")
+
+    def decode(self, ids: list[int]) -> str:
+        buf = bytearray()
+        for i in ids:
+            piece = self.decode_piece(int(i))
+            if isinstance(piece, bytes):
+                buf.extend(piece)
+            else:
+                buf.extend(piece.encode("utf-8"))
+        return buf.decode("utf-8", errors="replace")

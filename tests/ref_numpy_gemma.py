@@ -1,0 +1,62 @@
+"""Independent numpy reference implementation of the Gemma forward pass.
+
+Deliberately written straight from the architecture definition (not via the
+framework's own ops) so tests/test_model.py can golden-diff the JAX engine
+against it — the same differential-testing pattern the reference uses
+against llama.cpp (SURVEY.md §4), with this file playing llama.cpp's role.
+"""
+import numpy as np
+
+
+def rms_norm(x, w, eps):
+    var = np.mean(x.astype(np.float64) ** 2, axis=-1, keepdims=True)
+    return (x / np.sqrt(var + eps)) * w
+
+
+def rope_neox(x, positions, base):
+    # x: [T, H, D]
+    T, H, D = x.shape
+    half = D // 2
+    freqs = base ** (-np.arange(half) / half)
+    theta = positions[:, None, None] * freqs[None, None, :]
+    cos, sin = np.cos(theta), np.sin(theta)
+    x1, x2 = x[..., :half], x[..., half:]
+    return np.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
+def gelu_tanh(x):
+    return 0.5 * x * (1 + np.tanh(np.sqrt(2 / np.pi) * (x + 0.044715 * x**3)))
+
+
+def forward(weights, cfg, tokens):
+    """weights: dict of float32 numpy arrays keyed by GGUF tensor names.
+    tokens: [T] int. Returns logits [T, vocab] float32."""
+    T = len(tokens)
+    D = cfg.d_model
+    positions = np.arange(T)
+    x = weights["token_embd.weight"][tokens] * np.sqrt(D)
+    for i in range(cfg.n_layers):
+        w = lambda n: weights[f"blk.{i}.{n}.weight"]
+        h = rms_norm(x, w("attn_norm"), cfg.rms_eps)
+        q = (h @ w("attn_q").T).reshape(T, cfg.n_heads, cfg.head_dim)
+        k = (h @ w("attn_k").T).reshape(T, cfg.n_kv_heads, cfg.head_dim)
+        v = (h @ w("attn_v").T).reshape(T, cfg.n_kv_heads, cfg.head_dim)
+        q = rope_neox(q, positions, cfg.rope_base) * cfg.head_dim**-0.5
+        k = rope_neox(k, positions, cfg.rope_base)
+        group = cfg.n_heads // cfg.n_kv_heads
+        outs = []
+        for hq in range(cfg.n_heads):
+            hk = hq // group
+            scores = q[:, hq] @ k[:, hk].T  # [T, T]
+            mask = np.tril(np.ones((T, T), bool))
+            scores = np.where(mask, scores, -np.inf)
+            p = np.exp(scores - scores.max(axis=-1, keepdims=True))
+            p /= p.sum(axis=-1, keepdims=True)
+            outs.append(p @ v[:, hk])
+        attn = np.stack(outs, axis=1).reshape(T, cfg.n_heads * cfg.head_dim)
+        x = x + attn @ w("attn_output").T
+        h2 = rms_norm(x, w("ffn_norm"), cfg.rms_eps)
+        ff = gelu_tanh(h2 @ w("ffn_gate").T) * (h2 @ w("ffn_up").T)
+        x = x + ff @ w("ffn_down").T
+    x = rms_norm(x, weights["output_norm.weight"], cfg.rms_eps)
+    return (x @ weights["token_embd.weight"].T).astype(np.float32)
