@@ -16,10 +16,23 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
 import numpy as np
+
+# Persistent compilation cache: Mosaic/XLA compiles go through a remote
+# helper that can take minutes under contention; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.time()
 
 
 def hbm_bandwidth_gbs() -> float:
@@ -60,19 +73,32 @@ def main() -> None:
     if model == "tiny":
         fmt = "bf16"
 
-    params = make_params(cfg, fmt=fmt, fill="random")
+    # zero payloads: throughput is weight-value-independent, and the
+    # host->device upload of multi-GB random params dominates wall time
+    params = make_params(cfg, fmt=fmt, fill="zeros")
+    _log(f"params built ({model} {fmt})")
     params = jax.device_put(params)
+    jax.block_until_ready(jax.tree_util.tree_leaves(params)[:1])
+    _log("params on device")
     eng = Engine(cfg, params, EngineConfig(max_seq_len=512, max_batch=batch))
 
     prompt = list(range(2, 2 + 64))
     prompts = [prompt] * batch
 
-    # warmup: compile prefill + fused decode loop
+    # warmup: compile prefill + the fused decode step
     eng.generate_fused(prompts, max_new_tokens=8)
+    _log("compiled")
+    eng.generate_fused(prompts, max_new_tokens=n_tokens)
+    _log("warm")
 
+    # marginal decode rate: t(2n) - t(n) over n extra tokens cancels the
+    # constant prefill + final-fetch overhead shared by both runs
     t0 = time.perf_counter()
     eng.generate_fused(prompts, max_new_tokens=n_tokens)
-    dt = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    eng.generate_fused(prompts, max_new_tokens=2 * n_tokens)
+    t2 = time.perf_counter()
+    dt = max((t2 - t1) - (t1 - t0), 1e-9)
 
     toks_per_s = n_tokens * batch / dt
     weight_bytes = param_stream_bytes(params)

@@ -97,9 +97,16 @@ def decoder_layer(
 ) -> tuple[jax.Array, KVCache]:
     B, T, _ = x.shape
     h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-    q = linear(h, lp["attn_q"]).reshape(B, T, cfg.n_heads, cfg.head_dim)
-    k = linear(h, lp["attn_k"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
-    v = linear(h, lp["attn_v"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+    if "attn_qkv" in lp:  # fused projection (params.py _maybe_fuse)
+        qkv = linear(h, lp["attn_qkv"])
+        q, k, v = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim], axis=-1)
+        q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+    else:
+        q = linear(h, lp["attn_q"]).reshape(B, T, cfg.n_heads, cfg.head_dim)
+        k = linear(h, lp["attn_k"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        v = linear(h, lp["attn_v"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
 
     q = apply_rope(q, positions, cfg.rope_base) * jnp.asarray(
         cfg.effective_query_scale, dtype=x.dtype
@@ -116,8 +123,13 @@ def decoder_layer(
     x = x + linear(attn.reshape(B, T, cfg.q_dim), lp["attn_output"])
 
     h2 = rms_norm(x, lp["ffn_norm"], cfg.rms_eps)
-    gate = jax.nn.gelu(linear(h2, lp["ffn_gate"]).astype(jnp.float32), approximate=True)
-    up = linear(h2, lp["ffn_up"]).astype(jnp.float32)
+    if "ffn_gate_up" in lp:
+        gu = linear(h2, lp["ffn_gate_up"]).astype(jnp.float32)
+        gate_v, up = gu[..., : cfg.d_ff], gu[..., cfg.d_ff :]
+        gate = jax.nn.gelu(gate_v, approximate=True)
+    else:
+        gate = jax.nn.gelu(linear(h2, lp["ffn_gate"]).astype(jnp.float32), approximate=True)
+        up = linear(h2, lp["ffn_up"]).astype(jnp.float32)
     ff = linear((gate * up).astype(x.dtype), lp["ffn_down"])
     return x + ff, cache
 

@@ -46,11 +46,35 @@ def _load_tensor(reader: GGUFReader, name: str, mode: str, *, is_norm: bool = Fa
     return from_ggml(raw, ti.ggml_type, ti.shape)
 
 
+def _maybe_fuse(lp: dict[str, Any], names: tuple[str, ...], fused_name: str) -> None:
+    """Fuse row-concatenable projections (q|k|v, gate|up) into one matmul.
+
+    The reference issues one mul_mat per projection (gemma_model.cpp:692-696,
+    444-452); on TPU, fusing them cuts kernel launches and enlarges tiles.
+    Only fuses when all parts share a quant format (mixed-type GGUF exports,
+    e.g. Q4_K_M's Q6_K attn_v, stay separate)."""
+    import numpy as np
+
+    from ..quant.qtensor import concat_rows
+
+    parts = [lp[n] for n in names]
+    if all(isinstance(p, QTensor) for p in parts):
+        if len({p.fmt for p in parts}) == 1:
+            lp[fused_name] = concat_rows(parts)
+            for n in names:
+                del lp[n]
+    elif not any(isinstance(p, QTensor) for p in parts):
+        lp[fused_name] = np.concatenate([np.asarray(p) for p in parts], axis=0)
+        for n in names:
+            del lp[n]
+
+
 def load_params(
     reader: GGUFReader,
     mode: str = "quantized",
     device_put: bool = True,
     sharding_fn=None,
+    fuse_projections: bool = True,
 ) -> tuple[GemmaConfig, dict[str, Any]]:
     """Load (config, params). `sharding_fn(path, shape) -> Sharding | None`
     lets the parallel layer place each array shard-by-shard as it streams
@@ -67,6 +91,9 @@ def load_params(
         lp = {}
         for t in LAYER_TENSORS:
             lp[t] = _load_tensor(reader, f"blk.{i}.{t}.weight", mode, is_norm=t in _NORM_NAMES)
+        if fuse_projections:
+            _maybe_fuse(lp, ("attn_q", "attn_k", "attn_v"), "attn_qkv")
+            _maybe_fuse(lp, ("ffn_gate", "ffn_up"), "ffn_gate_up")
         params["layers"].append(lp)
 
     if device_put:

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..quant.qtensor import QTensor, dequant
+from ..quant.qtensor import QTensor, dequant_t
 
 # Set by gemma_tpu.ops.quant_matmul at import time on TPU; maps fmt -> fn.
 _KERNELS: dict[str, object] = {}
@@ -40,6 +40,6 @@ def linear(x: jax.Array, w, *, out_dtype=None) -> jax.Array:
         fn = None if _FORCE_FALLBACK else _KERNELS.get(w.fmt)
         if fn is not None:
             return fn(x, w).astype(out_dtype)
-        wd = dequant(w, dtype=jnp.bfloat16)
-        return jnp.dot(x, wd.T, preferred_element_type=jnp.float32).astype(out_dtype)
+        wd = dequant_t(w, dtype=jnp.bfloat16)  # [K, N]
+        return jnp.dot(x, wd, preferred_element_type=jnp.float32).astype(out_dtype)
     return jnp.dot(x, w.T, preferred_element_type=jnp.float32).astype(out_dtype)

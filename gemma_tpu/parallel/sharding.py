@@ -69,7 +69,7 @@ def param_pspec(path: str, shape: tuple[int, ...], mesh: Mesh) -> P:
         return P(None)
     rows, cols = shape[0], shape[1]
     role = path.rsplit(".", 1)[-1]
-    if role in ("attn_q", "ffn_gate", "ffn_up"):
+    if role in ("attn_q", "ffn_gate", "ffn_up", "attn_qkv", "ffn_gate_up"):
         return P(_maybe(MODEL_AXIS, rows, tp), None)
     if role in ("attn_k", "attn_v"):
         # KV projections shard over rows only when every device gets >= 1
@@ -83,16 +83,19 @@ def param_pspec(path: str, shape: tuple[int, ...], mesh: Mesh) -> P:
 
 
 def _qtensor_sharding(qt: QTensor, spec: P, mesh: Mesh) -> QTensor:
-    """Apply the logical (rows, cols) spec to each device array of a QTensor,
-    verifying group-granularity divisibility (fall back to replicated)."""
+    """Apply the logical (out-rows, in-cols) spec to each device array of a
+    QTensor. Device arrays are K-major [K-granule, N]: the logical row (N)
+    axis is array dim 1 and the logical col (K) axis is array dim 0. Falls
+    back to replication when a granule dim doesn't divide."""
     tp = _axis_size(mesh, MODEL_AXIS)
+    row_axis = spec[0]
+    col_axis = spec[1] if len(spec) > 1 else None
     out = {}
     for name, arr in qt.arrays.items():
-        row_axis, col_axis = spec[0], (spec[1] if len(spec) > 1 else None)
-        r, c = arr.shape
+        kdim, ndim = arr.shape
         sub = P(
-            row_axis if row_axis and r % tp == 0 else None,
-            col_axis if col_axis and c % tp == 0 else None,
+            col_axis if col_axis and kdim % tp == 0 else None,
+            row_axis if row_axis and ndim % tp == 0 else None,
         )
         out[name] = jax.device_put(arr, NamedSharding(mesh, sub))
     return QTensor(qt.fmt, qt.shape, out)

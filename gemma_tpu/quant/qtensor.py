@@ -4,33 +4,35 @@ The reference keeps ggml's interleaved block bytes in host memory and decodes
 them scalar-by-scalar inside `vec_dot` (`/root/reference/src/hpc.cpp:33-37`,
 `/root/reference/src/kernals.cl:48-156`). On TPU, sub-byte interleaved structs
 are hostile to the (8,128) vector-lane layout, so checkpoints are re-laid-out
-**once at load time** into a structure-of-arrays form:
+**once at load time** into a K-major structure-of-arrays form chosen for the
+fused Pallas matmul (ops/quant_matmul.py):
 
-* ``qs``     — packed quantized values, uint8/int8, last dim = in-features
-* ``scales`` (+ ``mins`` / ``d``/``dmin`` hierarchy) — per-group metadata as
-  separate dense arrays aligned with the group grid
+* all arrays are **[K-granule, N]** — K (reduction/in-features) on the
+  sublane axis, N (out-features) on the lane axis. Tiles of every array are
+  then (8k-row, 128-col)-aligned, K-stepping never needs lane-dim dynamic
+  slices, and the kernel's dot is the MXU-native ``x @ W`` (no transposed
+  contraction);
+* per-group metadata is flattened to one effective f16 scale (and min) per
+  32-group (per-16 for q6_k): exact for q4_0/q8_0 (ggml stores d as f16);
+  for K-quants the f16 rounding of d*sc products is <= 2^-11 relative —
+  three orders below the 4-bit quantization noise itself.
 
-Values are numerically identical to ggml dequantization (scale arithmetic is
-kept in f32, grouping mirrors the ggml block structure). Supported device
-formats:
+Device formats (logical tensor is [N, K] = [out, in], ggml row-major):
 
-====== ====================================================== ==========
-fmt    device arrays                                           bits/wt
-====== ====================================================== ==========
-q4_0   qs u8 [r, c/2], scales f32 [r, c/32]                    5.0
-q8_0   qs i8 [r, c],   scales f32 [r, c/32]                    9.0
-q4_k   qs u8 [r, c/2], sc/mn u8 [r, c/32], d/dmin f32 [r,c/256] 4.75+
-q6_k   ql u8 [r, c/2], qh u8 [r, c/4], sc i8 [r, c/16], d f32   6.75+
-====== ====================================================== ==========
+====== ============================================================ ======
+fmt    arrays                                                        bpw
+====== ============================================================ ======
+q4_0   qs u8 [K/2, N], scales f16 [K/32, N]                          4.5
+q8_0   qs i8 [K, N],   scales f16 [K/32, N]                          8.5
+q4_k   qs u8 [K/2, N], scales f16 [K/32, N], mins f16 [K/32, N]      5.0
+q6_k   ql u8 [K/2, N], qh u8 [K/4, N], scales f16 [K/16, N]          7.0
+====== ============================================================ ======
 
-(bits/wt counts f32 group scales; swap to bf16 scales for bandwidth-critical
-deployments via ``scale_dtype``.)
-
-Nibble packing convention (all 4-bit formats): within each 32-element group,
-byte ``j`` holds element ``j`` in its low nibble and element ``j+16`` in its
-high nibble — ggml's Q4_0 order — so unpacking is
-``concat([qs & 15, qs >> 4], axis=-1)`` on a ``[..., ngroup, 16]`` view with
-no cross-lane shuffles, and importing ggml payloads never re-shuffles nibbles.
+Nibble packing (4-bit formats): within each 32-element K-group, packed row
+``j`` (j in 0..15) holds element ``32g+j`` in its low nibble and element
+``32g+16+j`` in its high nibble — ggml's Q4_0 intra-block order, so
+importing ggml payloads never re-shuffles nibbles, and unpacking is two
+plane-wise ops plus one coarse concat along the sublane axis.
 """
 from __future__ import annotations
 
@@ -45,21 +47,28 @@ from ..gguf.constants import GGMLType
 from . import numpy_ref
 
 QGROUP = 32  # fine-grain scale group (ggml QK4_0/QK8_0 block size)
+# Scales are ggml f16 values stored as raw bits in uint16: Mosaic has no f16
+# vector type, so kernels decode f16->f32 with integer ops (exact); the XLA
+# path uses lax.bitcast_convert_type.
+SCALE_DTYPE = np.uint16
+
+
+def store_f16(x: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(x.astype(np.float16).view(np.uint16))
+
+
+def f16_bits_to_f32(u16: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(u16, jnp.float16).astype(jnp.float32)
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class QTensor:
-    """A [rows, cols] quantized matrix in device layout.
-
-    Logical semantics: ``dequant(qt)`` is a float32/bf16 [rows, cols] matrix.
-    Weight matrices follow the ggml convention rows=out-features,
-    cols=in-features (matmul is ``x @ w.T``).
-    """
+    """A logical [N, K] = [out, in] quantized matrix in device layout."""
 
     fmt: str  # static: 'q4_0' | 'q8_0' | 'q4_k' | 'q6_k'
-    shape: tuple[int, ...]  # static logical shape
-    arrays: dict[str, Any]  # device arrays; keys depend on fmt
+    shape: tuple[int, ...]  # static logical shape (N, K)
+    arrays: dict[str, Any]  # device arrays, all [K-granule, N]
 
     def tree_flatten(self):
         keys = tuple(sorted(self.arrays))
@@ -82,38 +91,37 @@ class QTensor:
 # Host-side conversion: ggml payload -> device layout (numpy)
 # ---------------------------------------------------------------------------
 
-def _pad_rows_to(x: np.ndarray, rows: int) -> np.ndarray:
-    if x.shape[0] == rows:
-        return x
-    pad = np.zeros((rows - x.shape[0],) + x.shape[1:], dtype=x.dtype)
-    return np.concatenate([x, pad], axis=0)
+def _t(x: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(x.T)
 
 
-def pack_q4_0(raw: bytes | np.ndarray, shape: tuple[int, int], scale_dtype=np.float32) -> dict[str, np.ndarray]:
-    rows, cols = shape
+def pack_q4_0(raw, shape) -> dict[str, np.ndarray]:
+    rows, cols = shape  # (N, K)
     b = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(rows, cols // 32, 18)
-    scales = b[:, :, :2].copy().view("<f2").astype(scale_dtype).reshape(rows, cols // 32)
+    scales = b[:, :, :2].copy().view("<f2").reshape(rows, cols // 32)
     qs = b[:, :, 2:].reshape(rows, cols // 2)
-    return {"qs": np.ascontiguousarray(qs), "scales": scales}
+    return {"qs": _t(qs), "scales": store_f16(_t(scales))}
 
 
-def pack_q8_0(raw, shape, scale_dtype=np.float32) -> dict[str, np.ndarray]:
+def pack_q8_0(raw, shape) -> dict[str, np.ndarray]:
     rows, cols = shape
     b = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(rows, cols // 32, 34)
-    scales = b[:, :, :2].copy().view("<f2").astype(scale_dtype).reshape(rows, cols // 32)
+    scales = b[:, :, :2].copy().view("<f2").reshape(rows, cols // 32)
     qs = b[:, :, 2:].view(np.int8).reshape(rows, cols)
-    return {"qs": np.ascontiguousarray(qs), "scales": scales}
+    return {"qs": _t(qs), "scales": store_f16(_t(scales))}
 
 
-def pack_q4_k(raw, shape, scale_dtype=np.float32) -> dict[str, np.ndarray]:
+def pack_q4_k(raw, shape) -> dict[str, np.ndarray]:
     rows, cols = shape
     nsb = cols // 256
     b = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(rows, nsb, 144)
-    d = b[:, :, 0:2].copy().view("<f2").astype(scale_dtype).reshape(rows, nsb)
-    dmin = b[:, :, 2:4].copy().view("<f2").astype(scale_dtype).reshape(rows, nsb)
+    d = b[:, :, 0:2].copy().view("<f2").astype(np.float32).reshape(rows, nsb)
+    dmin = b[:, :, 2:4].copy().view("<f2").astype(np.float32).reshape(rows, nsb)
     sc6, mn6 = numpy_ref._unpack_scale_min_k4(b[:, :, 4:16].reshape(-1, 12))
-    sc6 = sc6.reshape(rows, nsb * 8)  # per-32 6-bit scale, [r, cols/32]
-    mn6 = mn6.reshape(rows, nsb * 8)
+    sc6 = sc6.reshape(rows, nsb, 8).astype(np.float32)
+    mn6 = mn6.reshape(rows, nsb, 8).astype(np.float32)
+    eff_sc = (d[:, :, None] * sc6).reshape(rows, cols // 32)
+    eff_mn = (dmin[:, :, None] * mn6).reshape(rows, cols // 32)
     # ggml Q4_K nibble order: qs chunk c (32B) holds sub-block 2c in lo
     # nibbles (elements 64c..64c+31) and sub-block 2c+1 in hi nibbles.
     # Re-group to the uniform per-32 (j, j+16) convention:
@@ -123,23 +131,22 @@ def pack_q4_k(raw, shape, scale_dtype=np.float32) -> dict[str, np.ndarray]:
     subs = np.stack([lo, hi], axis=3).reshape(rows, nsb * 8, 32)  # [r, n32, 32]
     packed = (subs[:, :, :16] | (subs[:, :, 16:] << 4)).reshape(rows, cols // 2)
     return {
-        "qs": np.ascontiguousarray(packed),
-        "sc": np.ascontiguousarray(sc6),
-        "mn": np.ascontiguousarray(mn6),
-        "d": d,
-        "dmin": dmin,
+        "qs": _t(packed),
+        "scales": store_f16(_t(eff_sc)),
+        "mins": store_f16(_t(eff_mn)),
     }
 
 
-def pack_q6_k(raw, shape, scale_dtype=np.float32) -> dict[str, np.ndarray]:
+def pack_q6_k(raw, shape) -> dict[str, np.ndarray]:
     rows, cols = shape
     nsb = cols // 256
     b = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(rows, nsb, 210)
-    # Decode ggml's interleaved (ql, qh) into plain 6-bit values first.
     ql = b[:, :, 0:128]
     qh = b[:, :, 128:192]
-    sc = b[:, :, 192:208].view(np.int8).reshape(rows, nsb * 16)  # per-16 scales
-    d = b[:, :, 208:210].copy().view("<f2").astype(scale_dtype).reshape(rows, nsb)
+    sc8 = b[:, :, 192:208].view(np.int8).astype(np.float32).reshape(rows, nsb, 16)
+    d = b[:, :, 208:210].copy().view("<f2").astype(np.float32).reshape(rows, nsb)
+    eff_sc = (d[:, :, None] * sc8).reshape(rows, cols // 16)  # per-16 scales
+    # Decode ggml's interleaved (ql, qh) into plain 6-bit values first.
     q = np.empty((rows, nsb, 256), dtype=np.uint8)
     for n in range(2):
         lq = ql[:, :, n * 64 : n * 64 + 64]
@@ -150,9 +157,9 @@ def pack_q6_k(raw, shape, scale_dtype=np.float32) -> dict[str, np.ndarray]:
         q[:, :, base + 64 : base + 96] = (lq[:, :, :32] >> 4) | (((hq >> 4) & 3) << 4)
         q[:, :, base + 96 : base + 128] = (lq[:, :, 32:] >> 4) | (((hq >> 6) & 3) << 4)
     q = q.reshape(rows, cols)
-    # Split 6-bit values into a nibble plane (uniform (j, j+16) packing per
-    # 32-group) and a 2-bit plane (byte j of a 32-group holds the top bits of
-    # elements j, j+8, j+16, j+24 at shifts 0/2/4/6).
+    # Split into a nibble plane with the uniform (j, j+16) per-32 packing and
+    # a 2-bit plane: byte j of a 32-group holds the top bits of elements
+    # j, j+8, j+16, j+24 at shifts 0/2/4/6.
     g = q.reshape(rows, cols // 32, 32)
     lo4 = g & 0x0F
     hi2 = g >> 4
@@ -164,10 +171,9 @@ def pack_q6_k(raw, shape, scale_dtype=np.float32) -> dict[str, np.ndarray]:
         | (hi2[:, :, 24:32] << 6)
     ).reshape(rows, cols // 4)
     return {
-        "ql": np.ascontiguousarray(nib),
-        "qh": np.ascontiguousarray(hq),
-        "sc": np.ascontiguousarray(sc),
-        "d": d,
+        "ql": _t(nib),
+        "qh": _t(hq),
+        "scales": store_f16(_t(eff_sc)),
     }
 
 
@@ -186,11 +192,11 @@ GGML_TO_FMT = {
 }
 
 
-def from_ggml(raw, ggml_type: GGMLType, shape: tuple[int, int], scale_dtype=np.float32) -> QTensor:
+def from_ggml(raw, ggml_type: GGMLType, shape: tuple[int, int]) -> QTensor:
     """Convert a ggml-format payload into a device-layout QTensor (host side;
     arrays stay numpy until device_put)."""
     fmt = GGML_TO_FMT[ggml_type]
-    arrays = _PACKERS[fmt][1](raw, shape, scale_dtype)
+    arrays = _PACKERS[fmt][1](raw, shape)
     return QTensor(fmt, tuple(shape), arrays)
 
 
@@ -205,52 +211,92 @@ def quantize_array(x: np.ndarray, fmt: str) -> QTensor:
 # Device-side dequantization (XLA; Pallas kernels fuse this into the matmul)
 # ---------------------------------------------------------------------------
 
-def _unpack_nibbles(qs: jax.Array, cols: int) -> jax.Array:
-    """[..., cols/2] uint8 -> [..., cols] uint8 per the (j, j+16) convention."""
-    g = qs.reshape(*qs.shape[:-1], cols // 32, 16)
-    return jnp.concatenate([g & 0x0F, g >> 4], axis=-1).reshape(*qs.shape[:-1], cols)
+def _unpack_nibble_planes(qs: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[K/2, N] packed -> (lo, hi) planes, each [K/2, N] uint8.
+
+    Plane row c (= 16g+j) holds element 32g+j (lo) / 32g+16+j (hi)."""
+    return qs & 0x0F, qs >> 4
 
 
-def gather_dequant(qt: QTensor, indices: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
-    """Gather rows `indices` of a quantized [rows, cols] matrix and dequantize
-    only those rows (embedding lookup without materializing the table)."""
-    flat = indices.reshape(-1)
-    arrays = {k: jnp.take(a, flat, axis=0) for k, a in qt.arrays.items()}
-    sub = QTensor(qt.fmt, (int(flat.shape[0]), qt.shape[1]), arrays)
-    return dequant(sub, dtype).reshape(*indices.shape, qt.shape[1])
+def _interleave_planes(lo: jax.Array, hi: jax.Array) -> jax.Array:
+    """(lo, hi) [K/2, N] -> [K, N] in natural element order."""
+    Kh, N = lo.shape
+    lo3 = lo.reshape(Kh // 16, 16, N)
+    hi3 = hi.reshape(Kh // 16, 16, N)
+    return jnp.concatenate([lo3, hi3], axis=1).reshape(2 * Kh, N)
+
+
+def dequant_t(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
+    """Dequantize to the K-major [K, N] matrix (y = x @ dequant_t(w))."""
+    N, K = qt.shape
+    a = qt.arrays
+    if qt.fmt == "q8_0":
+        q = a["qs"].astype(jnp.float32).reshape(K // 32, 32, N)
+        sc = f16_bits_to_f32(a["scales"])
+        x = (q * sc[:, None, :]).reshape(K, N)
+    elif qt.fmt in ("q4_0", "q4_k"):
+        lo, hi = _unpack_nibble_planes(a["qs"])
+        sc16 = jnp.repeat(f16_bits_to_f32(a["scales"]), 16, axis=0)  # [K/2, N]
+        if qt.fmt == "q4_0":
+            lo_v = (lo.astype(jnp.int8) - 8).astype(jnp.float32) * sc16
+            hi_v = (hi.astype(jnp.int8) - 8).astype(jnp.float32) * sc16
+        else:
+            mn16 = jnp.repeat(f16_bits_to_f32(a["mins"]), 16, axis=0)
+            lo_v = lo.astype(jnp.float32) * sc16 - mn16
+            hi_v = hi.astype(jnp.float32) * sc16 - mn16
+        x = _interleave_planes(lo_v, hi_v)
+    elif qt.fmt == "q6_k":
+        lo, hi = _unpack_nibble_planes(a["ql"])
+        qh = a["qh"]
+        h = [(qh >> s) & 3 for s in (0, 2, 4, 6)]  # rows 8g+j -> elems 32g+j(+8/16/24)
+        n32 = K // 32
+        def merge8(a8, b8):
+            return jnp.concatenate(
+                [a8.reshape(n32, 8, N), b8.reshape(n32, 8, N)], axis=1
+            ).reshape(K // 2, N)
+        hi_for_lo = merge8(h[0], h[1])  # rows 16g+jj -> elems 32g+jj
+        hi_for_hi = merge8(h[2], h[3])
+        lo_q = ((lo | (hi_for_lo << 4)).astype(jnp.int8) - 32).astype(jnp.float32)
+        hi_q = ((hi | (hi_for_hi << 4)).astype(jnp.int8) - 32).astype(jnp.float32)
+        # per-16 scales: group g lo-half uses sc[2g], hi-half sc[2g+1]
+        sc = f16_bits_to_f32(a["scales"]).reshape(n32, 2, N)
+        sc_lo = jnp.repeat(sc[:, 0, :].reshape(n32, 1, N), 16, axis=1).reshape(K // 2, N)
+        sc_hi = jnp.repeat(sc[:, 1, :].reshape(n32, 1, N), 16, axis=1).reshape(K // 2, N)
+        x = _interleave_planes(lo_q * sc_lo, hi_q * sc_hi)
+    else:
+        raise NotImplementedError(qt.fmt)
+    return x.astype(dtype)
 
 
 def dequant(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
-    """Dequantize a QTensor to a dense matrix (reference/fallback path)."""
-    rows, cols = qt.shape
-    a = qt.arrays
-    if qt.fmt == "q8_0":
-        q = a["qs"].astype(jnp.float32).reshape(rows, cols // 32, 32)
-        x = q * a["scales"].astype(jnp.float32)[..., None]
-    elif qt.fmt == "q4_0":
-        q = _unpack_nibbles(a["qs"], cols).astype(jnp.int8) - 8
-        x = q.reshape(rows, cols // 32, 32).astype(jnp.float32) * a["scales"].astype(jnp.float32)[..., None]
-    elif qt.fmt == "q4_k":
-        q = _unpack_nibbles(a["qs"], cols).reshape(rows, cols // 32, 32).astype(jnp.float32)
-        d32 = (
-            a["d"].astype(jnp.float32).reshape(rows, cols // 256, 1)
-            * a["sc"].astype(jnp.float32).reshape(rows, cols // 256, 8)
-        ).reshape(rows, cols // 32)
-        m32 = (
-            a["dmin"].astype(jnp.float32).reshape(rows, cols // 256, 1)
-            * a["mn"].astype(jnp.float32).reshape(rows, cols // 256, 8)
-        ).reshape(rows, cols // 32)
-        x = q * d32[..., None] - m32[..., None]
-    elif qt.fmt == "q6_k":
-        lo = _unpack_nibbles(a["ql"], cols).reshape(rows, cols // 32, 32)
-        h = a["qh"].reshape(rows, cols // 32, 8)
-        hi = jnp.concatenate([h & 3, (h >> 2) & 3, (h >> 4) & 3, (h >> 6) & 3], axis=-1)
-        q = (lo | (hi << 4)).astype(jnp.int8) - 32
-        d16 = (
-            a["d"].astype(jnp.float32).reshape(rows, cols // 256, 1)
-            * a["sc"].astype(jnp.float32).reshape(rows, cols // 256, 16)
-        ).reshape(rows, cols // 16)
-        x = q.reshape(rows, cols // 16, 16).astype(jnp.float32) * d16[..., None]
-    else:
-        raise NotImplementedError(qt.fmt)
-    return x.reshape(rows, cols).astype(dtype)
+    """Dequantize to the logical [N, K] matrix (tests / golden reference)."""
+    return dequant_t(qt, dtype).T
+
+
+def concat_rows(qts: list["QTensor"]) -> "QTensor":
+    """Concatenate QTensors along the logical row (out-feature / N) axis.
+
+    Used to fuse per-layer projections (q|k|v, gate|up) into one matmul —
+    fewer kernel launches and bigger tiles. All inputs must share fmt and K.
+    Device arrays are [K-granule, N], so this is an axis-1 concat."""
+    fmt = qts[0].fmt
+    K = qts[0].shape[1]
+    if any(q.fmt != fmt or q.shape[1] != K for q in qts):
+        raise ValueError("concat_rows requires matching fmt and in-features")
+    xp = jnp if any(isinstance(a, jax.Array) for a in qts[0].arrays.values()) else np
+    arrays = {
+        k: xp.concatenate([q.arrays[k] for q in qts], axis=1) for k in qts[0].arrays
+    }
+    return QTensor(fmt, (sum(q.shape[0] for q in qts), K), arrays)
+
+
+def gather_dequant(qt: QTensor, indices: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """Gather logical rows (out-features / vocab entries) `indices` of a
+    quantized [N, K] matrix and dequantize only those rows -> [..., K].
+
+    Embedding lookup without materializing the table; rows are the lane
+    (N) axis of the device arrays."""
+    flat = indices.reshape(-1)
+    arrays = {k: jnp.take(a, flat, axis=1) for k, a in qt.arrays.items()}
+    sub = QTensor(qt.fmt, (int(flat.shape[0]), qt.shape[1]), arrays)
+    return dequant(sub, dtype).reshape(*indices.shape, qt.shape[1])

@@ -5,13 +5,17 @@ TPU-native replacement for the reference's `begin_one_round_inference` /
 Where the reference rebuilds and re-executes a ggml graph per token with a
 single-threaded executor, this engine:
 
-* traces ONE prefill graph per (batch, bucketed-length) and ONE decode graph
-  per batch size; XLA compiles and caches them;
+* traces ONE prefill graph per (batch, bucketed-length) and ONE fused
+  sample+decode step graph per batch size; XLA compiles and caches them;
 * donates the KV-cache through jit, so decode updates happen in-place in
-  device HBM with no host round-trip besides the sampled token;
-* runs a fully device-side `lax.while_loop` generation path (`generate_fused`)
-  for throughput, and a host-streamed token-by-token path (`generate`) for
-  interactive use;
+  device HBM;
+* drives generation as a **host-chained asynchronous dispatch pipeline**:
+  every step is one device program whose inputs are the previous step's
+  device arrays — the host never blocks on a token unless streaming or
+  checking EOS (then only once per `eos_check_every` chunk). Device-side
+  `lax.while_loop`/`scan` decode was measured 30-150x slower on TPU here:
+  loop bodies serialize each Pallas call's pipeline warmup, while chained
+  dispatch keeps the device queue saturated;
 * supports greedy/temperature/top-k/top-p sampling and per-sequence EOS.
 
 Prompt lengths are bucketed to powers of two to bound recompilation
@@ -61,6 +65,12 @@ class Engine:
         donate = self.ecfg.donate_cache
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(3,) if donate else ())
         self._decode = jax.jit(self._decode_impl, donate_argnums=(2,) if donate else ())
+        # fused sample+decode: one dispatch per generated token
+        self._step = jax.jit(
+            self._step_impl,
+            static_argnames=("sampling",),
+            donate_argnums=(3,) if donate else (),
+        )
 
     # -- cache -------------------------------------------------------------
     def new_cache(self, batch: int | None = None) -> KVCache:
@@ -98,6 +108,13 @@ class Engine:
         cache = cache.advance(1)
         return logits[:, 0], cache
 
+    def _step_impl(self, params, logits, key, cache: KVCache, *, sampling: SamplingParams):
+        """Sample from `logits`, then run one decode step with the sampled
+        token. Returns (token [B], next_logits [B, vocab], cache)."""
+        tok = sample(logits, sampling, key)
+        next_logits, cache = self._decode_impl(params, tok, cache)
+        return tok, next_logits, cache
+
     # -- public API --------------------------------------------------------
     def prefill(self, prompts: list[list[int]], cache: KVCache | None = None):
         """Pad a batch of prompts to a bucket and run the prefill graph."""
@@ -121,30 +138,51 @@ class Engine:
         eos_id: int | None = None,
         seed: int = 0,
         on_token: Callable[[int, list[int]], None] | None = None,
+        eos_check_every: int = 8,
     ) -> list[list[int]]:
-        """Host-loop generation (streams tokens; per-sequence EOS stop)."""
+        """Generate with per-sequence EOS stopping.
+
+        Dispatches the fused step asynchronously; syncs with the host only
+        every `eos_check_every` tokens (or every token when streaming via
+        `on_token`)."""
         B = len(prompts)
+        if max_new_tokens <= 0:
+            return [[] for _ in range(B)]
         logits, cache = self.prefill(prompts)
+        max_total = int(np.asarray(cache.length).max()) + max_new_tokens
+        budget = min(max_new_tokens, self.ecfg.max_seq_len - (max_total - max_new_tokens) + 1)
         key = jax.random.PRNGKey(seed)
+        device_toks: list[jax.Array] = []
         out: list[list[int]] = [[] for _ in range(B)]
         done = np.zeros(B, bool)
-        tok = None
-        for step in range(max_new_tokens):
+        emitted = 0
+
+        def drain() -> bool:
+            """Pull pending tokens to host; returns True when all sequences hit EOS."""
+            nonlocal emitted
+            for t in device_toks[emitted:]:
+                t_np = np.asarray(t)
+                for b in range(B):
+                    if not done[b]:
+                        out[b].append(int(t_np[b]))
+                        if eos_id is not None and t_np[b] == eos_id:
+                            done[b] = True
+                if on_token is not None:
+                    on_token(emitted, [int(v) for v in t_np])
+                emitted += 1
+                if done.all():
+                    return True
+            return done.all()
+
+        check_every = 1 if on_token is not None else max(1, eos_check_every)
+        for i in range(budget):
             key, sub = jax.random.split(key)
-            tok = sample(logits, sampling, sub)
-            tok_np = np.asarray(tok)
-            for b in range(B):
-                if not done[b]:
-                    out[b].append(int(tok_np[b]))
-                    if eos_id is not None and tok_np[b] == eos_id:
-                        done[b] = True
-            if on_token is not None:
-                on_token(step, [int(t) for t in tok_np])
-            if done.all() or step == max_new_tokens - 1:
-                break
-            if int(np.asarray(cache.length).max()) >= self.ecfg.max_seq_len:
-                break
-            logits, cache = self.decode_step(tok, cache)
+            tok, logits, cache = self._step(self.params, logits, sub, cache, sampling=sampling)
+            device_toks.append(tok)
+            if eos_id is not None and (i + 1) % check_every == 0:
+                if drain():
+                    break
+        drain()
         return out
 
     def generate_fused(
@@ -155,49 +193,15 @@ class Engine:
         eos_id: int | None = None,
         seed: int = 0,
     ) -> np.ndarray:
-        """Fully device-side generation via lax.while_loop; returns
-        [B, max_new_tokens] token ids (post-EOS positions hold EOS/garbage).
-
-        This is the throughput path: one dispatch for the whole decode, no
-        per-token host sync."""
+        """Throughput path: chain all steps with zero host syncs, fetch the
+        [B, max_new_tokens] token matrix once at the end (no early EOS exit)."""
         logits, cache = self.prefill(prompts)
-        fn = self._fused_loop(max_new_tokens, sampling, eos_id)
-        toks = fn(self.params, logits, cache, jax.random.PRNGKey(seed))
-        return np.asarray(toks)
-
-    @functools.lru_cache(maxsize=8)
-    def _fused_loop(self, max_new_tokens: int, sampling: SamplingParams, eos_id: int | None):
-        decode = self._decode_impl
-
-        def run(params, logits0, cache0, key0):
-            B = logits0.shape[0]
-            toks0 = jnp.zeros((B, max_new_tokens), jnp.int32)
-            done0 = jnp.zeros((B,), bool)
-
-            def cond(state):
-                i, _, _, done, _, _ = state
-                return (i < max_new_tokens) & ~jnp.all(done)
-
-            def body(state):
-                i, logits, cache, done, toks, key = state
-                key, sub = jax.random.split(key)
-                t = sample(logits, sampling, sub)
-                toks = toks.at[:, i].set(jnp.where(done, toks[:, i], t))
-                if eos_id is not None:
-                    done = done | (t == eos_id)
-                can_continue = (i + 1 < max_new_tokens) & (
-                    cache.length.max() < cache.max_len
-                )
-                logits, cache = jax.lax.cond(
-                    can_continue,
-                    lambda args: decode(*args),
-                    lambda args: (logits, cache),
-                    (params, t, cache),
-                )
-                return (i + 1, logits, cache, done, toks, key)
-
-            state = (jnp.asarray(0), logits0, cache0, done0, toks0, key0)
-            state = jax.lax.while_loop(cond, body, state)
-            return state[4]
-
-        return jax.jit(run, donate_argnums=(2,))
+        key = jax.random.PRNGKey(seed)
+        toks = []
+        for _ in range(max_new_tokens):
+            key, sub = jax.random.split(key)
+            tok, logits, cache = self._step(self.params, logits, sub, cache, sampling=sampling)
+            toks.append(tok)
+        # stack on device; ONE host transfer at the end (a per-token fetch
+        # pays the accelerator-tunnel round-trip latency per token)
+        return np.asarray(jnp.stack(toks, axis=1))

@@ -55,26 +55,25 @@ def make_params(
             return rng.integers(-100, 100, size=shape, dtype=np.int8).view(dtype)
 
         def scales(shape):
-            return (rng.uniform(0.5, 1.0, size=shape) * 0.01).astype(np.float32)
+            # stored as raw f16 bits in uint16 (see qtensor.SCALE_DTYPE)
+            return (rng.uniform(0.5, 1.0, size=shape) * 0.01).astype(np.float16).view(np.uint16)
 
+        # device layout is K-major: arrays are [K-granule, N] (see qtensor.py)
         if fmt == "q4_0":
-            arrays = {"qs": payload((rows, cols // 2), np.uint8), "scales": scales((rows, cols // 32))}
+            arrays = {"qs": payload((cols // 2, rows), np.uint8), "scales": scales((cols // 32, rows))}
         elif fmt == "q8_0":
-            arrays = {"qs": payload((rows, cols), np.int8), "scales": scales((rows, cols // 32))}
+            arrays = {"qs": payload((cols, rows), np.int8), "scales": scales((cols // 32, rows))}
         elif fmt == "q4_k":
             arrays = {
-                "qs": payload((rows, cols // 2), np.uint8),
-                "sc": rng.integers(0, 64, size=(rows, cols // 32), dtype=np.uint8),
-                "mn": rng.integers(0, 64, size=(rows, cols // 32), dtype=np.uint8),
-                "d": scales((rows, cols // 256)),
-                "dmin": scales((rows, cols // 256)),
+                "qs": payload((cols // 2, rows), np.uint8),
+                "scales": scales((cols // 32, rows)),
+                "mins": scales((cols // 32, rows)),
             }
         elif fmt == "q6_k":
             arrays = {
-                "ql": payload((rows, cols // 2), np.uint8),
-                "qh": payload((rows, cols // 4), np.uint8),
-                "sc": rng.integers(-64, 64, size=(rows, cols // 16), dtype=np.int8),
-                "d": scales((rows, cols // 256)),
+                "ql": payload((cols // 2, rows), np.uint8),
+                "qh": payload((cols // 4, rows), np.uint8),
+                "scales": scales((cols // 16, rows)),
             }
         else:
             raise ValueError(fmt)
@@ -88,12 +87,10 @@ def make_params(
         "final_norm": norm(cfg.d_model),
         "layers": [
             {
-                "attn_q": mat(cfg.q_dim, cfg.d_model),
-                "attn_k": mat(cfg.kv_dim, cfg.d_model),
-                "attn_v": mat(cfg.kv_dim, cfg.d_model),
+                # fused projections, matching params.load_params(fuse_projections=True)
+                "attn_qkv": mat(cfg.q_dim + 2 * cfg.kv_dim, cfg.d_model),
                 "attn_output": mat(cfg.d_model, cfg.q_dim),
-                "ffn_gate": mat(cfg.d_ff, cfg.d_model),
-                "ffn_up": mat(cfg.d_ff, cfg.d_model),
+                "ffn_gate_up": mat(2 * cfg.d_ff, cfg.d_model),
                 "ffn_down": mat(cfg.d_model, cfg.d_ff),
                 "attn_norm": norm(cfg.d_model),
                 "ffn_norm": norm(cfg.d_model),

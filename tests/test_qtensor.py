@@ -20,7 +20,12 @@ def test_device_dequant_matches_reference(fmt, rng):
 
     qt = from_ggml(raw, ggml_type, shape)
     dev = np.asarray(dequant(qt, dtype=np.float32))
-    np.testing.assert_allclose(dev, ref, rtol=0, atol=1e-6)
+    if fmt in ("q4_0", "q8_0"):
+        # f16 group scales are ggml's own d: bit-exact
+        np.testing.assert_allclose(dev, ref, rtol=0, atol=1e-7)
+    else:
+        # K-quants fold d*sc into one f16 scale: <= 2^-11 relative rounding
+        np.testing.assert_allclose(dev, ref, rtol=6e-4, atol=6e-4 * np.abs(ref).max())
 
 
 def test_quantize_array_roundtrip(rng):
@@ -45,8 +50,9 @@ def test_qtensor_is_pytree(rng):
 
 
 def test_nbytes_budget(rng):
-    # Q4_0 device layout must stay near 5 bits/weight (qs + f32 scales).
+    # Q4_0 device layout must stay at ggml's 4.5 bits/weight (nibbles + f16
+    # group scales).
     x = rng.normal(size=(64, 4096)).astype(np.float32)
     qt = quantize_array(x, "q4_0")
     bits_per_weight = qt.nbytes() * 8 / x.size
-    assert bits_per_weight == pytest.approx(5.0, abs=0.01)
+    assert bits_per_weight == pytest.approx(4.5, abs=0.01)
