@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..ops.linear import linear
 from ..runtime.kv_cache import KVCache
+from ..utils.tensor_dump import record
 from .config import GemmaConfig
 
 Params = dict[str, Any]
@@ -121,6 +122,7 @@ def decoder_layer(
 
     attn = _sdpa(q, kc, vc, positions, kv_limit, cfg.attn_softcap)
     x = x + linear(attn.reshape(B, T, cfg.q_dim), lp["attn_output"])
+    record(f"blk.{layer_idx}.attn_out", x)
 
     h2 = rms_norm(x, lp["ffn_norm"], cfg.rms_eps)
     if "ffn_gate_up" in lp:
@@ -131,7 +133,9 @@ def decoder_layer(
         gate = jax.nn.gelu(linear(h2, lp["ffn_gate"]).astype(jnp.float32), approximate=True)
         up = linear(h2, lp["ffn_up"]).astype(jnp.float32)
     ff = linear((gate * up).astype(x.dtype), lp["ffn_down"])
-    return x + ff, cache
+    x = x + ff
+    record(f"blk.{layer_idx}.ffn_out", x)
+    return x, cache
 
 
 def forward(
@@ -152,13 +156,16 @@ def forward(
     else:
         x = jnp.take(embed, tokens, axis=0).astype(jnp.bfloat16)
     x = (x.astype(jnp.float32) * (cfg.d_model**0.5)).astype(jnp.bfloat16)
+    record("inp_embd", x)
 
     for i, lp in enumerate(params["layers"]):
         x, cache = decoder_layer(lp, cfg, x, positions, cache, i, write_index, kv_limit)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    record("result_norm", x)
     # Tied output head: logits = x @ embed.T (reference: gemma_model.cpp:163)
     logits = linear(x, params.get("output", params["embed"]), out_dtype=jnp.float32)
     if cfg.final_softcap:
         logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
+    record("result_output", logits)
     return logits, cache

@@ -130,6 +130,20 @@ class Engine:
     def decode_step(self, tokens: jax.Array, cache: KVCache):
         return self._decode(self.params, tokens, cache)
 
+    def capture_activations(self, prompt: list[int], patterns=("*",)):
+        """Golden-diff hook: run one un-jitted prefill while capturing named
+        activations (utils.tensor_dump). Returns (logits, {name: array})."""
+        from ..utils import tensor_dump
+
+        with tensor_dump.capture(patterns) as cap:
+            logits, _ = self._prefill_impl(
+                self.params,
+                jnp.asarray([prompt], jnp.int32),
+                jnp.asarray([len(prompt)], jnp.int32),
+                self.new_cache(1),
+            )
+        return np.asarray(logits), cap.values
+
     def generate(
         self,
         prompts: list[list[int]],

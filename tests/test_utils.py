@@ -1,0 +1,133 @@
+"""Profiling, golden-diff harness, and perplexity evaluator tests."""
+import numpy as np
+import pytest
+
+import ref_numpy_gemma
+from gemma_tpu.gguf import GGMLType, GGUFReader
+from gemma_tpu.models import load_params
+from gemma_tpu.quant import dequantize
+from gemma_tpu.runtime import Engine, EngineConfig
+from gemma_tpu.testing import TINY_CONFIG, make_gguf
+from gemma_tpu.utils import perplexity, profiling, tensor_dump
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("u") / "m.gguf"
+    make_gguf(path, TINY_CONFIG, weight_type=GGMLType.F32, seed=3)
+    reader = GGUFReader(path)
+    cfg, params = load_params(reader, mode="dequant")
+    weights = {
+        ti.name: dequantize(reader.tensor_raw(ti.name), ti.ggml_type, ti.shape)
+        for ti in reader
+    }
+    return cfg, params, weights
+
+
+# -- profiling ---------------------------------------------------------------
+
+def test_profiling_spans_and_report():
+    profiling.reset()
+    profiling.enable()
+    import time
+
+    with profiling.span("op.mul_mat"):
+        time.sleep(0.01)
+    with profiling.span("op.mul_mat"):
+        time.sleep(0.01)
+    with profiling.span("op.softmax"):
+        time.sleep(0.002)
+    profiling.add_count("tokens", 42)
+    profiling.roofline("q4_0", seconds=0.001, bytes_moved=800_000_000, flops=10**9)
+    rep = profiling.report()
+    profiling.disable()
+    assert "op.mul_mat" in rep and "x2" in rep
+    assert "tokens" in rep and "42" in rep
+    assert "q4_0" in rep and "GB/s" in rep and "BW-bound" in rep
+
+
+def test_profiling_disabled_noop():
+    profiling.reset()
+    profiling.disable()
+    with profiling.span("x"):
+        pass
+    profiling.add_count("y")
+    assert profiling.report() == "(profiling: no data)"
+
+
+# -- tensor dump / golden diff ----------------------------------------------
+
+def test_capture_and_golden_diff(model, tmp_path):
+    cfg, params, weights = model
+    prompt = [1, 7, 300, 42]
+    eng = Engine(cfg, params, EngineConfig(max_seq_len=16, donate_cache=False))
+    logits, acts = eng.capture_activations(prompt, patterns=("blk.*", "result_output"))
+    assert f"blk.{cfg.n_layers-1}.ffn_out" in acts
+    assert "result_output" in acts
+
+    # golden: numpy reference logits
+    ref_logits = ref_numpy_gemma.forward(weights, cfg, prompt)
+    tensor_dump.dump_tensor("result_output", ref_logits[None], tmp_path, mode="target")
+    res = tensor_dump.compare_with_golden(
+        {"result_output": acts["result_output"][:, : len(prompt)]},
+        tmp_path,
+        atol=0.05 * float(np.abs(ref_logits).max()),
+        rtol=0.05,
+    )
+    assert all(r.ok for r in res), [str(r) for r in res]
+
+
+def test_compare_tensors_mismatch_reporting():
+    a = np.zeros((2, 3), np.float32)
+    b = np.zeros((2, 3), np.float32)
+    b[1, 2] = 1.0
+    res = tensor_dump.compare_tensors("t", a, b, atol=1e-6, rtol=0)
+    assert not res.ok and res.first_mismatch == (1, 2)
+    assert "FAIL" in str(res)
+    res2 = tensor_dump.compare_tensors("t", a, np.zeros((3, 2), np.float32))
+    assert res2.shape_mismatch
+
+
+def test_dump_list_parser(tmp_path):
+    f = tmp_path / "dump_tensor_list"
+    f.write_text("// comment\ninp:inp_tokens\nout:result_output // trailing\n\n")
+    assert tensor_dump.parse_dump_list(f) == [
+        ("inp", "inp_tokens"),
+        ("out", "result_output"),
+    ]
+
+
+# -- perplexity --------------------------------------------------------------
+
+def test_perplexity_matches_numpy(model):
+    cfg, params, weights = model
+    rng = np.random.default_rng(0)
+    toks = rng.integers(260, 500, size=33).astype(np.int32)
+    res = perplexity.evaluate(params, cfg, toks, ctx=33)
+    # numpy reference NLL
+    logits = ref_numpy_gemma.forward(weights, cfg, list(toks))
+    logp = logits[:-1] - np.log(np.exp(logits[:-1] - logits[:-1].max(-1, keepdims=True)).sum(-1, keepdims=True)) - logits[:-1].max(-1, keepdims=True)
+    ref_nll = float(np.mean([-logp[i, toks[i + 1]] for i in range(len(toks) - 1)]))
+    assert res.n_tokens == 32
+    assert abs(res.nll - ref_nll) < 0.05 * abs(ref_nll) + 0.02
+    assert res.ppl == pytest.approx(np.exp(res.nll))
+
+
+def test_perplexity_quant_close_to_float(tmp_path):
+    from gemma_tpu.models.config import GemmaConfig
+
+    cfg_q = GemmaConfig(
+        vocab_size=512, d_model=256, n_layers=2, n_heads=4, n_kv_heads=2,
+        head_dim=64, d_ff=256, context_length=128,
+    )
+    path = tmp_path / "q.gguf"
+    make_gguf(path, cfg_q, weight_type=GGMLType.Q8_0, seed=5)
+    r = GGUFReader(path)
+    cfg, qp = load_params(r, mode="quantized")
+    _, fp = load_params(r, mode="dequant")
+    rng = np.random.default_rng(1)
+    toks = rng.integers(260, 500, size=64).astype(np.int32)
+    pq = perplexity.evaluate(qp, cfg, toks, ctx=64)
+    pf = perplexity.evaluate(fp, cfg, toks, ctx=64)
+    # Q8_0 round-trip is ~0.5% weight error; ppl delta must be small
+    assert abs(pq.delta(pf)) < 0.05 * pf.ppl + 0.05
