@@ -29,6 +29,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from ..ops.attention import attention
 from ..ops.linear import linear
 from ..runtime.kv_cache import KVCache
 from ..utils.tensor_dump import record
@@ -54,36 +55,6 @@ def apply_rope(x: jax.Array, positions: jax.Array, base: float) -> jax.Array:
     x1, x2 = xf[..., :half], xf[..., half:]
     out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
     return out.astype(x.dtype)
-
-
-def _sdpa(
-    q: jax.Array,  # [B, T, Hq, D] (already scaled)
-    k: jax.Array,  # [B, S, Hkv, D]
-    v: jax.Array,  # [B, S, Hkv, D]
-    positions: jax.Array,  # [B, T] absolute query positions
-    kv_limit: jax.Array,  # [B] number of valid cache slots
-    attn_softcap: float = 0.0,
-) -> jax.Array:
-    """Masked GQA attention over the cache (XLA fallback path).
-
-    Replaces the reference's materialized QK^T + dense 512×512 −inf mask
-    (gemma_model.cpp:326-335, 454-496) with an on-the-fly position mask.
-    """
-    B, T, Hq, D = q.shape
-    S, Hkv = k.shape[1], k.shape[2]
-    G = Hq // Hkv
-    qg = q.reshape(B, T, Hkv, G, D)
-    scores = jnp.einsum("bthgd,bshd->bhgts", qg, k, preferred_element_type=jnp.float32)
-    if attn_softcap:
-        scores = attn_softcap * jnp.tanh(scores / attn_softcap)
-    key_idx = jnp.arange(S, dtype=jnp.int32)
-    valid = (key_idx[None, None, :] <= positions[:, :, None]) & (
-        key_idx[None, None, :] < kv_limit[:, None, None]
-    )  # [B, T, S]
-    scores = jnp.where(valid[:, None, None], scores, -1e30)
-    w = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhgts,bshd->bthgd", w.astype(v.dtype), v)
-    return out.reshape(B, T, Hq, D)
 
 
 def decoder_layer(
@@ -120,7 +91,7 @@ def decoder_layer(
         cache = cache.write_token(layer_idx, write_index, k, v)
     kc, vc = cache.gather_layer(layer_idx)
 
-    attn = _sdpa(q, kc, vc, positions, kv_limit, cfg.attn_softcap)
+    attn = attention(q, kc, vc, positions, kv_limit, cfg.attn_softcap)
     x = x + linear(attn.reshape(B, T, cfg.q_dim), lp["attn_output"])
     record(f"blk.{layer_idx}.attn_out", x)
 

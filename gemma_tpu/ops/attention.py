@@ -1,0 +1,242 @@
+"""Attention ops: Pallas flash attention (prefill) + XLA fallback.
+
+Replaces the reference's materialized QK^T + dense 512x512 -inf mask + full
+softmax (`/root/reference/src/gemma_model.cpp:326-335,454-496`) with an
+online-softmax tiled kernel: the [T, S] score matrix never exists in HBM,
+so context scales to 8K+ (BASELINE.json configs 3-4) where the dense path
+would need gigabytes.
+
+Shapes (cache-aware, GQA-general):
+    q:  [B, Hq, T, D]   (already scaled by query_scale, RoPE applied)
+    k,v:[B, Hkv, S, D]  (S = cache capacity; validity via kv_limit)
+    positions: [B, T]   absolute query positions (mask: key_idx <= pos)
+    kv_limit:  [B]      number of valid cache slots
+
+Masking rule matches runtime.kv_cache semantics: key slot j attends iff
+j <= position[q] and j < kv_limit[b]. The kernel skips KV tiles that are
+entirely masked (causal block skip, boom guide §5).
+
+Dispatch: `attention()` uses the flash kernel on TPU when shapes tile
+(T, S multiples of the block sizes, D lane-aligned); otherwise the XLA
+fallback. Decode (T=1) currently uses the fallback — its HBM cost is the
+KV stream itself, which XLA handles at streaming rate.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NUM_LANES = 128
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_S = 128
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# XLA fallback (moved from models/gemma.py)
+# ---------------------------------------------------------------------------
+
+def sdpa_xla(
+    q: jax.Array,  # [B, T, Hq, D] (scaled)
+    k: jax.Array,  # [B, S, Hkv, D]
+    v: jax.Array,  # [B, S, Hkv, D]
+    positions: jax.Array,  # [B, T]
+    kv_limit: jax.Array,  # [B]
+    attn_softcap: float = 0.0,
+) -> jax.Array:
+    B, T, Hq, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    G = Hq // Hkv
+    qg = q.reshape(B, T, Hkv, G, D)
+    scores = jnp.einsum("bthgd,bshd->bhgts", qg, k, preferred_element_type=jnp.float32)
+    if attn_softcap:
+        scores = attn_softcap * jnp.tanh(scores / attn_softcap)
+    key_idx = jnp.arange(S, dtype=jnp.int32)
+    valid = (key_idx[None, None, :] <= positions[:, :, None]) & (
+        key_idx[None, None, :] < kv_limit[:, None, None]
+    )
+    scores = jnp.where(valid[:, None, None], scores, -1e30)
+    w = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgts,bshd->bthgd", w.astype(v.dtype), v)
+    return out.reshape(B, T, Hq, D)
+
+
+# ---------------------------------------------------------------------------
+# Flash kernel
+# ---------------------------------------------------------------------------
+
+def _flash_kernel(
+    pos0_ref,  # SMEM [1, 1] absolute position of the batch row's first query
+    lim_ref,  # SMEM [1, 1] kv_limit for this batch row
+    q_ref,  # [1, 1, bq, D]
+    k_ref,  # [1, 1, bs, D]
+    v_ref,  # [1, 1, bs, D]
+    o_ref,  # [1, 1, bq, D]
+    m_scr,  # VMEM [bq, NUM_LANES] f32
+    l_scr,  # VMEM [bq, NUM_LANES] f32
+    acc_scr,  # VMEM [bq, D] f32
+    *,
+    n_s_tiles: int,
+    block_s: int,
+    attn_softcap: float,
+):
+    s_idx = pl.program_id(3)
+
+    @pl.when(s_idx == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    bq, D = q_ref.shape[2], q_ref.shape[3]
+    # query rows are consecutive absolute positions starting at
+    # pos0 + tq*bq (flash_supported enforces consecutiveness)
+    tile_pos0 = pos0_ref[0, 0] + pl.program_id(2) * bq
+    limit = lim_ref[0, 0]
+
+    # tile-level skip: any key in this tile valid for any query row?
+    s_start = s_idx * block_s
+    max_pos = tile_pos0 + bq - 1
+    tile_live = (s_start <= max_pos) & (s_start < limit)
+
+    @pl.when(tile_live)
+    def _():
+        q = q_ref[0, 0]  # [bq, D]
+        k = k_ref[0, 0]  # [bs, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bs]
+        if attn_softcap:
+            s = attn_softcap * jnp.tanh(s / attn_softcap)
+        key_pos = s_start + jax.lax.broadcasted_iota(jnp.int32, (bq, block_s), 1)
+        qpos = tile_pos0 + jax.lax.broadcasted_iota(jnp.int32, (bq, block_s), 0)
+        mask = (key_pos <= qpos) & (key_pos < limit)
+        s = jnp.where(mask, s, MASK_VALUE)
+
+        m_prev = m_scr[...][:, :1]  # [bq, 1]
+        l_prev = l_scr[...][:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)  # [bq, bs]
+        # fully-masked rows: p ~ exp(MASK - MASK)=1 would pollute; zero them
+        p = jnp.where(mask, p, 0.0)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+        v_t = v_ref[0, 0]  # [bs, D]
+        pv = jax.lax.dot_general(
+            p.astype(v_t.dtype), v_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
+    @pl.when(s_idx == n_s_tiles - 1)
+    def _():
+        l = l_scr[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_s", "attn_softcap", "interpret")
+)
+def _flash_call(
+    q_bhtd, k_bhsd, v_bhsd, positions, kv_limit,
+    block_q, block_s, attn_softcap, interpret,
+):
+    B, Hq, T, D = q_bhtd.shape
+    Hkv, S = k_bhsd.shape[1], k_bhsd.shape[2]
+    G = Hq // Hkv
+    n_s = S // block_s
+    grid = (B, Hq, T // block_q, n_s)
+
+    kernel = functools.partial(
+        _flash_kernel, n_s_tiles=n_s, block_s=block_s, attn_softcap=attn_softcap
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b, h, tq, sk: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda b, h, tq, sk: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, tq, sk: (b, h, tq, 0)),
+            pl.BlockSpec((1, 1, block_s, D), lambda b, h, tq, sk: (b, h // G, sk, 0)),
+            pl.BlockSpec((1, 1, block_s, D), lambda b, h, tq, sk: (b, h // G, sk, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, tq, sk: (b, h, tq, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, T, D), q_bhtd.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(positions[:, :1], kv_limit.reshape(B, 1), q_bhtd, k_bhsd, v_bhsd)
+    return out
+
+
+def flash_supported(T: int, S: int, D: int, positions_consecutive: bool = True) -> bool:
+    return (
+        T % DEFAULT_BLOCK_Q == 0
+        and S % DEFAULT_BLOCK_S == 0
+        and D % NUM_LANES == 0
+        and positions_consecutive
+    )
+
+
+def flash_attention(
+    q: jax.Array,  # [B, T, Hq, D] scaled
+    k: jax.Array,  # [B, S, Hkv, D]
+    v: jax.Array,
+    positions: jax.Array,  # [B, T] (consecutive per row for tile-skip)
+    kv_limit: jax.Array,  # [B]
+    attn_softcap: float = 0.0,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_s: int = DEFAULT_BLOCK_S,
+) -> jax.Array:
+    q_bhtd = q.transpose(0, 2, 1, 3)
+    k_bhsd = k.transpose(0, 2, 1, 3)
+    v_bhsd = v.transpose(0, 2, 1, 3)
+    out = _flash_call(
+        q_bhtd, k_bhsd, v_bhsd,
+        positions.astype(jnp.int32), kv_limit.astype(jnp.int32),
+        block_q, block_s, float(attn_softcap), _interpret(),
+    )
+    return out.transpose(0, 2, 1, 3)
+
+
+def attention(
+    q: jax.Array,  # [B, T, Hq, D] scaled
+    k: jax.Array,
+    v: jax.Array,
+    positions: jax.Array,
+    kv_limit: jax.Array,
+    attn_softcap: float = 0.0,
+) -> jax.Array:
+    """Dispatch: flash on TPU for tile-compatible prefill shapes, XLA
+    fallback otherwise (decode T=1, odd shapes, CPU)."""
+    B, T, Hq, D = q.shape
+    S = k.shape[1]
+    use_interpret = os.environ.get("GEMMA_TPU_INTERPRET_KERNELS") == "1"
+    if (
+        (not _interpret() or use_interpret)
+        and flash_supported(T, S, D)
+        and q.shape[2] % k.shape[2] == 0
+    ):
+        return flash_attention(q, k, v, positions, kv_limit, attn_softcap)
+    return sdpa_xla(q, k, v, positions, kv_limit, attn_softcap)

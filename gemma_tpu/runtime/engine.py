@@ -52,6 +52,10 @@ class EngineConfig:
     kv_quantized: bool = False
     prefill_bucket_min: int = 16
     donate_cache: bool = True
+    # paged KV-cache (block tables over a shared page pool)
+    paged: bool = False
+    page_size: int = 16
+    n_pages: int | None = None  # default: max_batch * max_seq_len / page_size
 
 
 class Engine:
@@ -73,11 +77,23 @@ class Engine:
         )
 
     # -- cache -------------------------------------------------------------
-    def new_cache(self, batch: int | None = None) -> KVCache:
+    def new_cache(self, batch: int | None = None):
+        batch = batch or self.ecfg.max_batch
+        if self.ecfg.paged:
+            from .paged_kv import PagedKVCache
+
+            n_pages = self.ecfg.n_pages or (
+                batch * self.ecfg.max_seq_len // self.ecfg.page_size
+            )
+            return PagedKVCache.create(
+                self.cfg, batch, n_pages,
+                page_size=self.ecfg.page_size,
+                max_seq_len=self.ecfg.max_seq_len,
+                dtype=self.ecfg.kv_dtype,
+                quantized=self.ecfg.kv_quantized,
+            )
         return KVCache.create(
-            self.cfg,
-            batch or self.ecfg.max_batch,
-            self.ecfg.max_seq_len,
+            self.cfg, batch, self.ecfg.max_seq_len,
             dtype=self.ecfg.kv_dtype,
             quantized=self.ecfg.kv_quantized,
         )
@@ -129,6 +145,74 @@ class Engine:
 
     def decode_step(self, tokens: jax.Array, cache: KVCache):
         return self._decode(self.params, tokens, cache)
+
+    def prefill_standalone(self, prompt: list[int]):
+        """Prefill one sequence into a throwaway bucket-sized cache and
+        return (logits [vocab], k_seq, v_seq, scales..., length) for
+        insertion into a serving cache slot (prefill/decode disaggregation:
+        the prefill graph never touches the decode batch)."""
+        T = _bucket(len(prompt), self.ecfg.prefill_bucket_min)
+        tmp = KVCache.create(
+            self.cfg, 1, T, dtype=self.ecfg.kv_dtype, quantized=self.ecfg.kv_quantized
+        )
+        toks = np.zeros((1, T), np.int32)
+        toks[0, : len(prompt)] = prompt
+        logits, tmp = self._prefill(
+            self.params, jnp.asarray(toks), jnp.asarray([len(prompt)], np.int32), tmp
+        )
+        k_seq, v_seq = tmp.k[:, 0], tmp.v[:, 0]
+        scales = (
+            (tmp.k_scale[:, 0], tmp.v_scale[:, 0]) if tmp.quantized else (None, None)
+        )
+        return logits[0], k_seq, v_seq, scales, len(prompt)
+
+    def insert_sequence(self, cache, slot: int, prefill_out, pages: list[int] | None = None):
+        """Insert prefill_standalone output into `slot` of a serving cache.
+        For paged caches, `pages` are the physical pages the allocator
+        assigned to this sequence (>= prefill_bucket/page_size of them)."""
+        logits, k_seq, v_seq, (k_sc, v_sc), length = prefill_out
+        if pages is not None:
+            ps = cache.page_size
+            maxp = cache.page_table.shape[1]
+            T = k_seq.shape[1]
+            pages_arr = np.zeros(maxp, np.int32)
+            pages_arr[: len(pages)] = pages
+            return self._insert_paged(
+                cache, jnp.asarray(slot, jnp.int32), jnp.asarray(pages_arr),
+                jnp.asarray(len(pages), jnp.int32), k_seq, v_seq,
+                jnp.asarray(length, jnp.int32), k_sc, v_sc,
+            )
+        S = cache.max_len
+        T = k_seq.shape[1]
+        if T < S:  # pad the inserted chunk to a fixed shape per bucket
+            pad = [(0, 0), (0, S - T), (0, 0), (0, 0)]
+            k_seq = jnp.pad(k_seq, pad)
+            v_seq = jnp.pad(v_seq, pad)
+            if k_sc is not None:
+                k_sc = jnp.pad(k_sc, pad[:3])
+                v_sc = jnp.pad(v_sc, pad[:3])
+        elif T > S:
+            raise ValueError(f"prefill bucket {T} exceeds cache capacity {S}")
+        return self._insert(
+            cache, jnp.asarray(slot, jnp.int32), k_seq, v_seq,
+            jnp.asarray(length, jnp.int32), k_sc, v_sc,
+        )
+
+    @functools.cached_property
+    def _insert(self):
+        def fn(cache, slot, k_seq, v_seq, length, k_sc, v_sc):
+            return cache.insert_sequence(slot, k_seq, v_seq, length, k_sc, v_sc)
+
+        return jax.jit(fn, donate_argnums=(0,) if self.ecfg.donate_cache else ())
+
+    @functools.cached_property
+    def _insert_paged(self):
+        def fn(cache, slot, pages, n_used, k_seq, v_seq, length, k_sc, v_sc):
+            return cache.insert_sequence(
+                slot, pages, n_used, k_seq, v_seq, length, k_sc, v_sc
+            )
+
+        return jax.jit(fn, donate_argnums=(0,) if self.ecfg.donate_cache else ())
 
     def capture_activations(self, prompt: list[int], patterns=("*",)):
         """Golden-diff hook: run one un-jitted prefill while capturing named

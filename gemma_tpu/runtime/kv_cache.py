@@ -142,3 +142,34 @@ class KVCache:
 
     def advance(self, n: jax.Array) -> "KVCache":
         return dataclasses.replace(self, length=self.length + n)
+
+    def insert_sequence(
+        self,
+        slot: jax.Array,  # scalar i32
+        k_seq: jax.Array,  # [L, T, H, D] (already quantized if cache is)
+        v_seq: jax.Array,
+        length: jax.Array,  # scalar i32 true length (<= T)
+        k_scale: jax.Array | None = None,  # [L, T, H] when quantized
+        v_scale: jax.Array | None = None,
+    ) -> "KVCache":
+        """Insert a prefilled sequence's K/V into batch row `slot` (the
+        prefill->insert->decode handoff of continuous batching). Slots are
+        independent; the insert is a dynamic_update_slice on the batch dim."""
+        def upd(buf, val):
+            return jax.lax.dynamic_update_slice(
+                buf, val[:, None], (0, slot, 0, 0, 0)
+            )
+
+        changes = dict(
+            k=upd(self.k, k_seq.astype(self.k.dtype)),
+            v=upd(self.v, v_seq.astype(self.v.dtype)),
+            length=self.length.at[slot].set(length),
+        )
+        if self.quantized:
+            changes["k_scale"] = jax.lax.dynamic_update_slice(
+                self.k_scale, k_scale[:, None], (0, slot, 0, 0)
+            )
+            changes["v_scale"] = jax.lax.dynamic_update_slice(
+                self.v_scale, v_scale[:, None], (0, slot, 0, 0)
+            )
+        return dataclasses.replace(self, **changes)

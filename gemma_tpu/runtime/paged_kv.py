@@ -1,0 +1,245 @@
+"""Paged KV-cache: block-table indirection over a shared page pool.
+
+Generalizes the reference's dead `kv_cell`/seq-id machinery
+(`/root/reference/src/gemma_model.h:75-97`, never used — SURVEY.md quirks)
+into the real thing: KV memory is a pool of fixed-size pages shared by all
+sequences; each sequence maps logical positions to physical pages through a
+block table, so cache capacity is pooled (no per-slot worst-case
+reservation) and admission is O(pages-needed).
+
+Device state (jit-carried pytree):
+    k_pages, v_pages: [L, n_pages, page_size, H_kv, D]
+    page_table:       i32 [B, max_pages_per_seq]  (physical page ids)
+    length:           i32 [B]
+
+The host-side `PageAllocator` owns the free list (the scheduler calls it at
+admit/finish). `gather_layer` materializes a dense [B, S, H, D] view for the
+XLA attention fallback; the Pallas paged-attention kernel (ops/
+paged_attention.py) reads pages directly via the block table instead.
+
+Int8 mode mirrors runtime.kv_cache: per-(position, head) scales.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import GemmaConfig
+
+
+class PageAllocator:
+    """Host-side free-list over the physical page pool.
+
+    Page 0 is reserved as the TRASH page: freed slots' block tables are
+    zeroed, so decode steps of inactive batch rows (which still execute in
+    the fixed-shape graph) write harmlessly into page 0 instead of pages
+    that may have been re-allocated to live sequences."""
+
+    TRASH_PAGE = 0
+
+    def __init__(self, n_pages: int):
+        self.n_pages = n_pages
+        self._free = list(range(n_pages - 1, 0, -1))  # page 0 reserved
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def allocate(self, n: int) -> list[int] | None:
+        if n > len(self._free):
+            return None
+        return [self._free.pop() for _ in range(n)]
+
+    def release(self, pages: list[int]) -> None:
+        self._free.extend(pages)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PagedKVCache:
+    k_pages: Any  # [L, P, ps, H, D]
+    v_pages: Any
+    page_table: jax.Array  # i32 [B, maxp]
+    length: jax.Array  # i32 [B]
+    k_scale: Any = None  # [L, P, ps, H] int8 mode
+    v_scale: Any = None
+
+    def tree_flatten(self):
+        return (
+            self.k_pages, self.v_pages, self.page_table, self.length,
+            self.k_scale, self.v_scale,
+        ), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        config: GemmaConfig,
+        batch: int,
+        n_pages: int,
+        page_size: int = 64,
+        max_seq_len: int | None = None,
+        dtype=jnp.bfloat16,
+        quantized: bool = False,
+    ) -> "PagedKVCache":
+        maxp = (max_seq_len or config.context_length) // page_size
+        shape = (config.n_layers, n_pages, page_size, config.n_kv_heads, config.head_dim)
+        kw = {}
+        if quantized:
+            kw = dict(
+                k_scale=jnp.zeros(shape[:-1], jnp.float32),
+                v_scale=jnp.zeros(shape[:-1], jnp.float32),
+            )
+        return cls(
+            k_pages=jnp.zeros(shape, jnp.int8 if quantized else dtype),
+            v_pages=jnp.zeros(shape, jnp.int8 if quantized else dtype),
+            page_table=jnp.zeros((batch, maxp), jnp.int32),
+            length=jnp.zeros(batch, jnp.int32),
+            **kw,
+        )
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[2]
+
+    @property
+    def n_pages(self) -> int:
+        return self.k_pages.shape[1]
+
+    @property
+    def batch(self) -> int:
+        return self.page_table.shape[0]
+
+    @property
+    def max_len(self) -> int:
+        return self.page_table.shape[1] * self.page_size
+
+    # -- quantization (same scheme as KVCache) -----------------------------
+    @staticmethod
+    def _quantize(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+        scale = amax / 127.0
+        inv = jnp.where(scale > 0, 1.0 / jnp.where(scale == 0, 1.0, scale), 0.0)
+        return jnp.round(x.astype(jnp.float32) * inv[..., None]).astype(jnp.int8), scale
+
+    # -- reads -------------------------------------------------------------
+    def gather_layer(self, layer: int) -> tuple[jax.Array, jax.Array]:
+        """Dense [B, S, H, D] view via block-table gather (fallback path;
+        the paged Pallas kernel avoids this materialization)."""
+        B, maxp = self.page_table.shape
+        ps = self.page_size
+
+        def dense(pages, scale):
+            g = pages[layer][self.page_table]  # [B, maxp, ps, H, D]
+            g = g.reshape(B, maxp * ps, *g.shape[3:])
+            if scale is not None:
+                sc = scale[layer][self.page_table].reshape(B, maxp * ps, -1)
+                g = g.astype(jnp.bfloat16) * sc[..., None].astype(jnp.bfloat16)
+            return g
+
+        return dense(self.k_pages, self.k_scale), dense(self.v_pages, self.v_scale)
+
+    # -- writes ------------------------------------------------------------
+    def write_token(self, layer: int, index: jax.Array, k_new: jax.Array, v_new: jax.Array) -> "PagedKVCache":
+        """k_new [B, 1, H, D] written at logical position index[b] of each
+        sequence (physical slot via the block table)."""
+        ps = self.page_size
+        page = jnp.take_along_axis(self.page_table, (index // ps)[:, None], axis=1)[:, 0]
+        off = index % ps
+        changes: dict[str, Any] = {}
+        if self.quantized:
+            qk, sk = self._quantize(k_new)
+            qv, sv = self._quantize(v_new)
+            changes = dict(
+                k_pages=self.k_pages.at[layer, page, off].set(qk[:, 0]),
+                v_pages=self.v_pages.at[layer, page, off].set(qv[:, 0]),
+                k_scale=self.k_scale.at[layer, page, off].set(sk[:, 0]),
+                v_scale=self.v_scale.at[layer, page, off].set(sv[:, 0]),
+            )
+        else:
+            changes = dict(
+                k_pages=self.k_pages.at[layer, page, off].set(k_new[:, 0].astype(self.k_pages.dtype)),
+                v_pages=self.v_pages.at[layer, page, off].set(v_new[:, 0].astype(self.v_pages.dtype)),
+            )
+        return dataclasses.replace(self, **changes)
+
+    def write_chunk(self, layer: int, start: jax.Array, k_new: jax.Array, v_new: jax.Array) -> "PagedKVCache":
+        """Write a [B, T, H, D] chunk at uniform logical offset `start`
+        (page-aligned starts recommended; used by direct paged prefill)."""
+        B, T = k_new.shape[:2]
+        ps = self.page_size
+        pos = start + jnp.arange(T, dtype=jnp.int32)  # [T]
+        page = jnp.take_along_axis(
+            self.page_table, (pos // ps)[None].repeat(B, 0), axis=1
+        )  # [B, T]
+        off = (pos % ps)[None].repeat(B, 0)
+        b_idx = jnp.arange(B, dtype=jnp.int32)[:, None].repeat(T, 1)
+        changes: dict[str, Any] = {}
+        if self.quantized:
+            qk, sk = self._quantize(k_new)
+            qv, sv = self._quantize(v_new)
+            changes = dict(
+                k_pages=self.k_pages.at[layer, page, off].set(qk),
+                v_pages=self.v_pages.at[layer, page, off].set(qv),
+                k_scale=self.k_scale.at[layer, page, off].set(sk),
+                v_scale=self.v_scale.at[layer, page, off].set(sv),
+            )
+        else:
+            changes = dict(
+                k_pages=self.k_pages.at[layer, page, off].set(k_new.astype(self.k_pages.dtype)),
+                v_pages=self.v_pages.at[layer, page, off].set(v_new.astype(self.v_pages.dtype)),
+            )
+        del b_idx
+        return dataclasses.replace(self, **changes)
+
+    def advance(self, n: jax.Array) -> "PagedKVCache":
+        return dataclasses.replace(self, length=self.length + n)
+
+    # -- sequence insertion (host-assisted; pages chosen by the allocator) --
+    def insert_sequence(
+        self,
+        slot: jax.Array,  # scalar
+        pages: jax.Array,  # i32 [n_assigned] physical ids (padded with 0s ok)
+        n_pages_used: jax.Array,  # scalar count of valid entries in `pages`
+        k_seq: jax.Array,  # [L, T, H, D], T multiple of page_size
+        v_seq: jax.Array,
+        length: jax.Array,  # scalar true token count
+        k_scale: jax.Array | None = None,
+        v_scale: jax.Array | None = None,
+    ) -> "PagedKVCache":
+        L, T = k_seq.shape[:2]
+        ps = self.page_size
+        n = T // ps
+        k_c = k_seq.reshape(L, n, ps, *k_seq.shape[2:])
+        v_c = v_seq.reshape(L, n, ps, *v_seq.shape[2:])
+        # only the first n_pages_used chunks are real; scatter the rest to a
+        # harmless target (page `pages[i]` repeated — overwritten later)
+        changes: dict[str, Any] = dict(
+            k_pages=self.k_pages.at[:, pages[:n]].set(k_c.astype(self.k_pages.dtype)),
+            v_pages=self.v_pages.at[:, pages[:n]].set(v_c.astype(self.v_pages.dtype)),
+            page_table=jax.lax.dynamic_update_slice(
+                self.page_table, pages[None, : self.page_table.shape[1]], (slot, 0)
+            ),
+            length=self.length.at[slot].set(length),
+        )
+        if self.quantized:
+            changes["k_scale"] = self.k_scale.at[:, pages[:n]].set(
+                k_scale.reshape(L, n, ps, -1)
+            )
+            changes["v_scale"] = self.v_scale.at[:, pages[:n]].set(
+                v_scale.reshape(L, n, ps, -1)
+            )
+        del n_pages_used
+        return dataclasses.replace(self, **changes)

@@ -1,0 +1,188 @@
+"""Continuous batching scheduler.
+
+The reference serves exactly one hardcoded prompt per process
+(`begin_one_round_inference`, gemma_model.cpp:548-575). This scheduler turns
+the engine into a multi-request server: a fixed pool of decode slots shares
+one batched KV-cache; requests are admitted into free slots via
+prefill→insert (prefill runs standalone, batch-1, and never stalls running
+decodes' graph shapes), every tick runs ONE fused decode step for all slots,
+and finished sequences free their slot immediately for the next queued
+request — decode batch occupancy stays high regardless of arrival order.
+
+Tracks per-request TTFT (time to first token) and emission times for the
+p50-TTFT metric mandated by BASELINE.json.
+"""
+from __future__ import annotations
+
+import collections
+import dataclasses
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .engine import Engine
+from .sampler import SamplingParams
+
+
+@dataclasses.dataclass
+class Request:
+    id: str
+    prompt: list[int]
+    max_new_tokens: int
+    eos_id: int | None = None
+    # filled by the scheduler:
+    tokens: list[int] = dataclasses.field(default_factory=list)
+    submitted_at: float = 0.0
+    first_token_at: float | None = None
+    finished_at: float | None = None
+    slot: int | None = None
+
+    @property
+    def done(self) -> bool:
+        return self.finished_at is not None
+
+    @property
+    def ttft(self) -> float | None:
+        if self.first_token_at is None:
+            return None
+        return self.first_token_at - self.submitted_at
+
+
+class Scheduler:
+    def __init__(
+        self,
+        engine: Engine,
+        sampling: SamplingParams = SamplingParams(),
+        seed: int = 0,
+        on_token: Callable[[Request, int], None] | None = None,
+    ):
+        self.engine = engine
+        self.sampling = sampling
+        self.on_token = on_token
+        self.max_batch = engine.ecfg.max_batch
+        self.cache = engine.new_cache(self.max_batch)
+        self.allocator = None
+        self._slot_pages: dict[int, list[int]] = {}
+        if engine.ecfg.paged:
+            from .paged_kv import PageAllocator
+
+            self.allocator = PageAllocator(self.cache.n_pages)
+        self.pending: collections.deque[Request] = collections.deque()
+        self.active: dict[int, Request] = {}  # slot -> request
+        self.finished: list[Request] = []
+        self.key = jax.random.PRNGKey(seed)
+        # per-slot next-token logits, merged into one [B, vocab] batch
+        self._logits = jnp.zeros((self.max_batch, engine.cfg.vocab_size), jnp.float32)
+        self._steps = 0
+
+    # -- request intake ----------------------------------------------------
+    def submit(self, req: Request) -> None:
+        req.submitted_at = time.monotonic()
+        self.pending.append(req)
+
+    def _free_slots(self) -> list[int]:
+        return [b for b in range(self.max_batch) if b not in self.active]
+
+    def _admit(self) -> None:
+        for slot in self._free_slots():
+            if not self.pending:
+                break
+            req = self.pending.popleft()
+            if len(req.prompt) >= self.engine.ecfg.max_seq_len:
+                req.tokens = []
+                req.finished_at = time.monotonic()
+                self.finished.append(req)
+                continue
+            pages = None
+            if self.allocator is not None:
+                ps = self.cache.page_size
+                from .engine import _bucket
+
+                bucket = _bucket(len(req.prompt), self.engine.ecfg.prefill_bucket_min)
+                need = max(
+                    bucket // ps,
+                    -(-(len(req.prompt) + req.max_new_tokens) // ps),
+                )
+                pages = self.allocator.allocate(need)
+                if pages is None:
+                    if not self.active and self.allocator.free_pages == self.allocator.n_pages - 1:
+                        # nothing running and the FULL pool is still too
+                        # small: this request can never be served
+                        req.tokens = []
+                        req.finished_at = time.monotonic()
+                        self.finished.append(req)
+                        continue
+                    # pool exhausted: wait for a running request to finish
+                    self.pending.appendleft(req)
+                    break
+                self._slot_pages[slot] = pages
+            pre = self.engine.prefill_standalone(req.prompt)
+            self.cache = self.engine.insert_sequence(self.cache, slot, pre, pages)
+            self._logits = self._logits.at[slot].set(pre[0])
+            req.slot = slot
+            self.active[slot] = req
+
+    # -- one decode tick ---------------------------------------------------
+    def step(self) -> list[tuple[str, int]]:
+        """Admit pending requests, run one batched decode step, emit one
+        token per active request. Returns [(request_id, token)] emitted."""
+        self._admit()
+        if not self.active:
+            return []
+        self.key, sub = jax.random.split(self.key)
+        tok, self._logits, self.cache = self.engine._step(
+            self.engine.params, self._logits, sub, self.cache, sampling=self.sampling
+        )
+        tok_np = np.asarray(tok)
+        now = time.monotonic()
+        emitted: list[tuple[str, int]] = []
+        self._steps += 1
+
+        for slot, req in list(self.active.items()):
+            t = int(tok_np[slot])
+            if req.first_token_at is None:
+                req.first_token_at = now
+            req.tokens.append(t)
+            emitted.append((req.id, t))
+            if self.on_token is not None:
+                self.on_token(req, t)
+            hit_eos = req.eos_id is not None and t == req.eos_id
+            full = len(req.prompt) + len(req.tokens) >= self.engine.ecfg.max_seq_len
+            if hit_eos or full or len(req.tokens) >= req.max_new_tokens:
+                req.finished_at = now
+                self.finished.append(req)
+                del self.active[slot]  # slot freed; cache row overwritten on admit
+                if self.allocator is not None and slot in self._slot_pages:
+                    # stale decode writes of this slot must not touch pages
+                    # that get re-allocated: retarget its table to the trash
+                    # page before releasing
+                    self.cache = dataclasses.replace(
+                        self.cache,
+                        page_table=self.cache.page_table.at[slot].set(0),
+                        length=self.cache.length.at[slot].set(0),
+                    )
+                    self.allocator.release(self._slot_pages.pop(slot))
+        return emitted
+
+    def run(self, max_steps: int | None = None) -> list[Request]:
+        """Drive until all submitted work completes; returns finished reqs."""
+        steps = 0
+        while (self.pending or self.active) and (max_steps is None or steps < max_steps):
+            self.step()
+            steps += 1
+        return self.finished
+
+    # -- metrics -----------------------------------------------------------
+    def stats(self) -> dict:
+        ttfts = sorted(r.ttft for r in self.finished if r.ttft is not None)
+        total_toks = sum(len(r.tokens) for r in self.finished)
+        return {
+            "requests": len(self.finished),
+            "decode_steps": self._steps,
+            "total_tokens": total_toks,
+            "p50_ttft_s": ttfts[len(ttfts) // 2] if ttfts else None,
+            "p99_ttft_s": ttfts[min(len(ttfts) - 1, int(len(ttfts) * 0.99))] if ttfts else None,
+        }

@@ -1,0 +1,61 @@
+"""Flash attention kernel vs the XLA reference (interpret mode on CPU)."""
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gemma_tpu.ops.attention import flash_attention, flash_supported, sdpa_xla
+
+os.environ["GEMMA_TPU_INTERPRET_KERNELS"] = "1"
+
+
+def make_qkv(rng, B, T, S, Hq, Hkv, D):
+    q = jnp.asarray(rng.normal(size=(B, T, Hq, D)) * 0.3, jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, S, Hkv, D)) * 0.3, jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, S, Hkv, D)) * 0.3, jnp.bfloat16)
+    return q, k, v
+
+
+CASES = [
+    # B, T, S, Hq, Hkv, D, kv_limits, pos0
+    (1, 128, 128, 4, 4, 128, [128], 0),          # MHA full square
+    (1, 128, 256, 8, 2, 128, [200], 0),          # GQA, partial cache
+    (2, 128, 256, 4, 1, 128, [128, 77], 0),      # MQA, per-batch limits
+    (1, 256, 256, 2, 2, 128, [256], 0),          # multi q-tile causal
+    (1, 128, 384, 4, 4, 128, [384], 256),        # offset queries (chunked prefill)
+]
+
+
+@pytest.mark.parametrize("B,T,S,Hq,Hkv,D,limits,pos0", CASES)
+def test_flash_matches_xla(B, T, S, Hq, Hkv, D, limits, pos0, rng):
+    assert flash_supported(T, S, D)
+    q, k, v = make_qkv(rng, B, T, S, Hq, Hkv, D)
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32) + pos0, (B, T))
+    kv_limit = jnp.asarray(limits, jnp.int32)
+
+    got = np.asarray(flash_attention(q, k, v, positions, kv_limit), np.float32)
+    ref = np.asarray(sdpa_xla(q, k, v, positions, kv_limit), np.float32)
+    np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_flash_softcap(rng):
+    q, k, v = make_qkv(rng, 1, 128, 128, 2, 2, 128)
+    positions = jnp.arange(128, dtype=jnp.int32)[None]
+    kv_limit = jnp.asarray([128], jnp.int32)
+    got = np.asarray(flash_attention(q, k, v, positions, kv_limit, attn_softcap=30.0), np.float32)
+    ref = np.asarray(sdpa_xla(q, k, v, positions, kv_limit, attn_softcap=30.0), np.float32)
+    np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_flash_rows_before_any_key():
+    """Query rows with position < 0 valid keys (empty attention) must not NaN."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    q, k, v = make_qkv(rng, 1, 128, 128, 2, 2, 128)
+    positions = jnp.arange(128, dtype=jnp.int32)[None]
+    kv_limit = jnp.asarray([1], jnp.int32)  # only key 0 valid
+    out = np.asarray(flash_attention(q, k, v, positions, kv_limit), np.float32)
+    assert np.isfinite(out).all()

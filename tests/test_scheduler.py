@@ -1,0 +1,92 @@
+"""Continuous batching scheduler: correctness vs standalone generation."""
+import numpy as np
+import pytest
+
+from gemma_tpu.gguf import GGMLType, GGUFReader
+from gemma_tpu.models import load_params
+from gemma_tpu.runtime import Engine, EngineConfig
+from gemma_tpu.runtime.scheduler import Request, Scheduler
+from gemma_tpu.testing import TINY_CONFIG, make_gguf
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    path = tmp_path_factory.mktemp("s") / "m.gguf"
+    make_gguf(path, TINY_CONFIG, weight_type=GGMLType.F32, seed=3)
+    cfg, params = load_params(GGUFReader(path), mode="dequant")
+    return Engine(cfg, params, EngineConfig(max_seq_len=64, max_batch=3, donate_cache=False))
+
+
+PROMPTS = {
+    "a": [1, 7, 300],
+    "b": [1, 44, 260, 9, 77],
+    "c": [1, 5, 311, 42],
+    "d": [1, 33],
+    "e": [1, 400, 17, 9, 8, 260],
+}
+
+
+def golden(engine, prompt, n):
+    single = Engine(engine.cfg, engine.params, EngineConfig(max_seq_len=64, donate_cache=False))
+    return single.generate([prompt], max_new_tokens=n)[0]
+
+
+def test_more_requests_than_slots(engine):
+    sched = Scheduler(engine)
+    for rid, p in PROMPTS.items():
+        sched.submit(Request(rid, p, max_new_tokens=6))
+    finished = sched.run()
+    assert len(finished) == len(PROMPTS)
+    for req in finished:
+        assert req.tokens == golden(engine, PROMPTS[req.id], 6), req.id
+        assert req.ttft is not None and req.ttft >= 0
+
+
+def test_late_arrival_joins_running_batch(engine):
+    sched = Scheduler(engine)
+    sched.submit(Request("a", PROMPTS["a"], max_new_tokens=8))
+    for _ in range(3):
+        sched.step()  # a is mid-decode
+    sched.submit(Request("b", PROMPTS["b"], max_new_tokens=4))
+    sched.run()
+    by_id = {r.id: r for r in sched.finished}
+    assert by_id["a"].tokens == golden(engine, PROMPTS["a"], 8)
+    assert by_id["b"].tokens == golden(engine, PROMPTS["b"], 4)
+
+
+def test_slot_reuse_after_finish(engine):
+    sched = Scheduler(engine)
+    sched.submit(Request("short", PROMPTS["d"], max_new_tokens=2))
+    sched.run()
+    sched.submit(Request("next", PROMPTS["c"], max_new_tokens=5))
+    sched.run()
+    by_id = {r.id: r for r in sched.finished}
+    assert by_id["short"].tokens == golden(engine, PROMPTS["d"], 2)
+    assert by_id["next"].tokens == golden(engine, PROMPTS["c"], 5)
+
+
+def test_eos_stops_request(engine):
+    # pick eos = the first greedily generated token so it stops at 1 token
+    first = golden(engine, PROMPTS["a"], 1)[0]
+    sched = Scheduler(engine)
+    sched.submit(Request("a", PROMPTS["a"], max_new_tokens=10, eos_id=first))
+    sched.run()
+    assert sched.finished[0].tokens == [first]
+
+
+def test_oversized_prompt_rejected(engine):
+    sched = Scheduler(engine)
+    sched.submit(Request("big", list(range(2, 2 + 70)), max_new_tokens=4))
+    finished = sched.run()
+    assert finished[0].tokens == []
+
+
+def test_stats(engine):
+    sched = Scheduler(engine)
+    for rid in ("a", "b"):
+        sched.submit(Request(rid, PROMPTS[rid], max_new_tokens=3))
+    sched.run()
+    st = sched.stats()
+    assert st["requests"] == 2
+    assert st["total_tokens"] == 6
+    assert st["p50_ttft_s"] is not None
