@@ -1,0 +1,276 @@
+"""Command-line interface: the app/lifecycle layer.
+
+TPU-native replacement for the reference's `app::run` + compile-time config
+(`/root/reference/src/app.cpp:30-45`, `/root/reference/src/macro.h:7-27`).
+Where the reference hardcodes the model path, prompt token ids, context
+length, and device selection as `#define`s and recompiles to change them,
+this is a real flag-driven tool:
+
+    python -m gemma_tpu generate model.gguf --prompt "..." [--stream]
+    python -m gemma_tpu inspect  model.gguf
+    python -m gemma_tpu bench    model.gguf
+    python -m gemma_tpu perplexity model.gguf --text-file corpus.txt
+
+`generate` reproduces the reference's observable behavior (prefill + greedy
+decode with streamed token printing and prefill/decode tokens-per-second
+reporting, gemma_model.cpp:548-575) plus everything the reference lacks:
+text encoding (the reference hardcodes prompt ids, gemma_model.cpp:549),
+sampling controls, batching, paged/quantized KV, and profiling output.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("model", help="path to a GGUF checkpoint")
+    p.add_argument(
+        "--mode", choices=("quantized", "dequant"), default="quantized",
+        help="serve block-quantized weights via fused Pallas kernels "
+        "(quantized) or dequantize everything to bf16 at load (dequant)",
+    )
+
+
+def _add_engine_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--max-seq-len", type=int, default=512,
+                   help="KV-cache capacity (reference ctx: macro.h:8-9)")
+    p.add_argument("--kv-quant", action="store_true",
+                   help="int8-quantize the KV-cache")
+    p.add_argument("--paged", action="store_true",
+                   help="use the paged KV-cache (block tables)")
+    p.add_argument("--page-size", type=int, default=16)
+    p.add_argument("--profile", action="store_true",
+                   help="print the op-span/roofline report at exit "
+                   "(reference: print_profiling_result, app.cpp:42)")
+
+
+def _load(args, need_tokenizer: bool = True):
+    from .gguf.reader import GGUFReader
+    from .models.params import load_params
+    from .tokenizer.sentencepiece import Tokenizer
+
+    t0 = time.time()
+    reader = GGUFReader(args.model)
+    cfg, params = load_params(reader, mode=args.mode)
+    tok = Tokenizer.from_gguf(reader) if need_tokenizer else None
+    print(f"loaded {args.model} in {time.time() - t0:.1f}s "
+          f"({cfg.n_layers} layers, d_model={cfg.d_model}, "
+          f"vocab={cfg.vocab_size})", file=sys.stderr)
+    return reader, cfg, params, tok
+
+
+def cmd_generate(args) -> int:
+    from .runtime import Engine, EngineConfig
+    from .runtime.sampler import SamplingParams
+    from .utils import profiling
+
+    if args.profile:
+        profiling.enable()
+    reader, cfg, params, tok = _load(args)
+
+    if args.tokens:
+        prompt = [int(t) for t in args.tokens.split(",")]
+    else:
+        prompt = tok.encode(args.prompt)
+    if len(prompt) >= args.max_seq_len:
+        print(f"prompt ({len(prompt)} tokens) must be shorter than "
+              f"--max-seq-len {args.max_seq_len}", file=sys.stderr)
+        return 2
+
+    eng = Engine(
+        cfg, params,
+        EngineConfig(
+            max_seq_len=args.max_seq_len, max_batch=1,
+            kv_quantized=args.kv_quant,
+            paged=args.paged, page_size=args.page_size,
+        ),
+    )
+    sampling = SamplingParams(
+        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p
+    )
+    eos = tok.special.eos if args.eos else None
+    budget = min(args.max_new_tokens, args.max_seq_len - len(prompt))
+
+    pieces: list[str] = []
+
+    def on_token(step: int, toks: list[int]) -> None:
+        text = tok.decode([toks[0]])
+        pieces.append(text)
+        if args.stream:
+            print(text, end="", flush=True)
+
+    t0 = time.time()
+    # timing split mirrors the reference's prefill/decode wall-clock report
+    # (gemma_model.cpp:566-572); prefill time is folded into TTFT here.
+    out = eng.generate(
+        [prompt], budget, sampling=sampling, eos_id=eos, seed=args.seed,
+        on_token=on_token if args.stream else None,
+    )[0]
+    dt = time.time() - t0
+    if args.stream:
+        print()
+    else:
+        print(tok.decode(out))
+    n = len(out)
+    print(
+        f"[{len(prompt)} prompt + {n} generated tokens in {dt:.2f}s "
+        f"= {(n / dt if dt > 0 else 0):.2f} tok/s end-to-end]",
+        file=sys.stderr,
+    )
+    if args.profile:
+        print(profiling.report(), file=sys.stderr)
+    return 0
+
+
+def cmd_inspect(args) -> int:
+    """Dump GGUF header KV pairs and tensor info (the introspection the
+    reference buries in MASK()-gated logging, gemma_model.cpp:604-644)."""
+    from .gguf.reader import GGUFReader
+
+    reader = GGUFReader(args.model)
+    if args.json:
+        meta = {
+            "architecture": reader.architecture,
+            "kv": {k: _jsonable(v) for k, v in reader.metadata.items()},
+            "tensors": {
+                t.name: {"shape": list(t.shape), "type": t.ggml_type.name}
+                for t in reader
+            },
+        }
+        print(json.dumps(meta, indent=2))
+        return 0
+    print(f"architecture: {reader.architecture}")
+    print(f"{len(reader.metadata)} KV pairs, {len(reader.tensors)} tensors")
+    for k, v in reader.metadata.items():
+        s = str(v)
+        if len(s) > 80:
+            s = f"{s[:77]}... ({len(v)} items)" if isinstance(v, list) else s[:77] + "..."
+        print(f"  {k} = {s}")
+    for t in reader:
+        print(f"  {t.name}  {list(t.shape)}  {t.ggml_type.name}")
+    return 0
+
+
+def _jsonable(v):
+    import numpy as np
+
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, list):
+        if len(v) > 64:
+            v = v[:64] + [f"... truncated"]
+        return [_jsonable(x) for x in v]
+    return v
+
+
+def cmd_bench(args) -> int:
+    """Decode-throughput benchmark on a real checkpoint (bench.py at the
+    repo root is the synthetic-weights variant the driver runs)."""
+    import numpy as np
+
+    from .runtime import Engine, EngineConfig
+
+    reader, cfg, params, tok = _load(args)
+    eng = Engine(
+        cfg, params,
+        EngineConfig(
+            max_seq_len=args.max_seq_len, max_batch=args.batch,
+            kv_quantized=args.kv_quant,
+            paged=args.paged, page_size=args.page_size,
+        ),
+    )
+    prompt = tok.encode(args.prompt) if args.prompt else list(range(2, 66))
+    prompts = [prompt] * args.batch
+    n = args.max_new_tokens
+    eng.generate_fused(prompts, max_new_tokens=8)  # compile
+    t0 = time.perf_counter()
+    eng.generate_fused(prompts, max_new_tokens=n)
+    t1 = time.perf_counter()
+    eng.generate_fused(prompts, max_new_tokens=2 * n)
+    t2 = time.perf_counter()
+    dt = max((t2 - t1) - (t1 - t0), 1e-9)
+    print(json.dumps({
+        "metric": "decode_tokens_per_sec",
+        "value": round(n * args.batch / dt, 2),
+        "unit": "tokens/s",
+        "batch": args.batch,
+    }))
+    return 0
+
+
+def cmd_perplexity(args) -> int:
+    from .utils.perplexity import evaluate
+
+    reader, cfg, params, tok = _load(args)
+    if args.text_file:
+        text = open(args.text_file, encoding="utf-8").read()
+    else:
+        text = sys.stdin.read()
+    ids = tok.encode(text)
+    res = evaluate(params, cfg, ids, ctx=args.window)
+    print(json.dumps({"perplexity": res.ppl, "tokens": res.n_tokens}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="gemma_tpu",
+        description="TPU-native quantized Gemma inference engine",
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    g = sub.add_parser("generate", help="prefill + decode one prompt")
+    _add_common(g)
+    _add_engine_flags(g)
+    g.add_argument("--prompt", default="Hello", help="prompt text")
+    g.add_argument("--tokens", default=None,
+                   help="comma-separated prompt token ids (bypasses encode)")
+    g.add_argument("--max-new-tokens", type=int, default=128)
+    g.add_argument("--temperature", type=float, default=0.0,
+                   help="0 = greedy (the reference's only sampler, "
+                   "gemma_model.cpp:532-546)")
+    g.add_argument("--top-k", type=int, default=0)
+    g.add_argument("--top-p", type=float, default=1.0)
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--stream", action="store_true",
+                   help="print tokens as they decode")
+    g.add_argument("--no-eos", dest="eos", action="store_false",
+                   help="ignore EOS and generate max-new-tokens")
+    g.set_defaults(fn=cmd_generate)
+
+    i = sub.add_parser("inspect", help="dump GGUF metadata and tensor info")
+    i.add_argument("model")
+    i.add_argument("--json", action="store_true")
+    i.set_defaults(fn=cmd_inspect)
+
+    b = sub.add_parser("bench", help="decode throughput on a checkpoint")
+    _add_common(b)
+    _add_engine_flags(b)
+    b.add_argument("--prompt", default=None)
+    b.add_argument("--max-new-tokens", type=int, default=128)
+    b.add_argument("--batch", type=int, default=1)
+    b.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("perplexity", help="perplexity over a text corpus")
+    _add_common(p)
+    p.add_argument("--text-file", default=None,
+                   help="UTF-8 text file (default: stdin)")
+    p.add_argument("--window", type=int, default=512)
+    p.set_defaults(fn=cmd_perplexity)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,79 @@
+"""CLI end-to-end tests over a synthetic GGUF checkpoint (tiny config)."""
+import json
+
+import pytest
+
+from gemma_tpu import cli
+from gemma_tpu.testing import TINY_CONFIG, make_gguf
+
+
+@pytest.fixture(scope="module")
+def gguf_path(tmp_path_factory):
+    return str(make_gguf(tmp_path_factory.mktemp("cli") / "tiny.gguf"))
+
+
+def test_generate_greedy(gguf_path, capsys):
+    rc = cli.main([
+        "generate", gguf_path, "--prompt", "abab", "--max-new-tokens", "8",
+        "--max-seq-len", "64", "--no-eos",
+    ])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert "tok/s end-to-end" in out.err
+
+
+def test_generate_stream_sampled(gguf_path, capsys):
+    rc = cli.main([
+        "generate", gguf_path, "--prompt", "ab", "--max-new-tokens", "4",
+        "--max-seq-len", "64", "--stream", "--temperature", "0.8",
+        "--top-k", "5", "--seed", "7", "--no-eos",
+    ])
+    assert rc == 0
+
+
+def test_generate_tokens_flag_and_paged(gguf_path):
+    rc = cli.main([
+        "generate", gguf_path, "--tokens", "1,5,9", "--max-new-tokens", "4",
+        "--max-seq-len", "64", "--paged", "--page-size", "8", "--no-eos",
+    ])
+    assert rc == 0
+
+
+def test_generate_prompt_too_long(gguf_path):
+    rc = cli.main([
+        "generate", gguf_path, "--tokens", ",".join(["5"] * 64),
+        "--max-seq-len", "64",
+    ])
+    assert rc == 2
+
+
+def test_inspect(gguf_path, capsys):
+    assert cli.main(["inspect", gguf_path]) == 0
+    out = capsys.readouterr().out
+    assert "architecture: gemma" in out
+    assert "token_embd.weight" in out
+
+
+def test_inspect_json(gguf_path, capsys):
+    assert cli.main(["inspect", gguf_path, "--json"]) == 0
+    meta = json.loads(capsys.readouterr().out)
+    assert meta["architecture"] == "gemma"
+    assert "token_embd.weight" in meta["tensors"]
+
+
+def test_perplexity(gguf_path, tmp_path, capsys):
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("abab bab ab abba " * 8)
+    rc = cli.main(["perplexity", gguf_path, "--text-file", str(corpus), "--window", "32"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["perplexity"] > 0 and res["tokens"] > 0
+
+
+def test_bench_tiny(gguf_path, capsys):
+    rc = cli.main([
+        "bench", gguf_path, "--max-new-tokens", "4", "--max-seq-len", "64",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["value"] > 0
