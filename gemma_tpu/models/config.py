@@ -30,6 +30,10 @@ class GemmaConfig:
     context_length: int = 8192
     # Gemma-2/3 extensions (0 disables):
     sliding_window: int = 0
+    # layer i uses the sliding window iff sliding_window > 0 and
+    # i % swa_pattern != swa_pattern - 1 (gemma2: 2 -> even layers slide,
+    # odd are global; gemma3: 6 -> five sliding then one global)
+    swa_pattern: int = 0
     attn_softcap: float = 0.0
     final_softcap: float = 0.0
     # query scaling: attention logits are q·k * query_scale; Gemma uses
@@ -48,6 +52,14 @@ class GemmaConfig:
     def effective_query_scale(self) -> float:
         return self.query_scale if self.query_scale is not None else self.head_dim**-0.5
 
+    def layer_window(self, layer_idx: int) -> int:
+        """Sliding-window size for this layer (0 = global attention)."""
+        if self.sliding_window <= 0 or self.swa_pattern <= 0:
+            return 0
+        if layer_idx % self.swa_pattern == self.swa_pattern - 1:
+            return 0
+        return self.sliding_window
+
     @classmethod
     def from_gguf(cls, reader: GGUFReader) -> "GemmaConfig":
         arch = reader.architecture
@@ -58,6 +70,8 @@ class GemmaConfig:
         head_dim = int(kv(Keys.KEY_LENGTH, d_model // n_heads))
         embed = reader.tensors.get("token_embd.weight")
         vocab = embed.shape[0] if embed is not None else len(kv(Keys.TOKENS, []))
+        # interleaved local/global attention cadence by family
+        swa_pattern = {"gemma2": 2, "gemma3": 6}.get(arch, 0)
         return cls(
             vocab_size=int(vocab),
             d_model=d_model,
@@ -70,6 +84,7 @@ class GemmaConfig:
             rope_base=float(kv(Keys.ROPE_FREQ_BASE, 10000.0)),
             context_length=int(kv(Keys.CONTEXT_LENGTH, 8192)),
             sliding_window=int(kv(Keys.SLIDING_WINDOW, 0) or 0),
+            swa_pattern=swa_pattern,
             attn_softcap=float(kv(Keys.ATTN_SOFTCAP, 0.0) or 0.0),
             final_softcap=float(kv(Keys.LOGIT_SOFTCAP, 0.0) or 0.0),
         )

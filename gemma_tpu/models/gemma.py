@@ -91,8 +91,14 @@ def decoder_layer(
         cache = cache.write_token(layer_idx, write_index, k, v)
     kc, vc = cache.gather_layer(layer_idx)
 
-    attn = attention(q, kc, vc, positions, kv_limit, cfg.attn_softcap)
-    x = x + linear(attn.reshape(B, T, cfg.q_dim), lp["attn_output"])
+    attn = attention(
+        q, kc, vc, positions, kv_limit, cfg.attn_softcap,
+        window=cfg.layer_window(layer_idx),
+    )
+    attn_out = linear(attn.reshape(B, T, cfg.q_dim), lp["attn_output"])
+    if "post_attention_norm" in lp:  # Gemma-2/3 sandwich norm
+        attn_out = rms_norm(attn_out, lp["post_attention_norm"], cfg.rms_eps)
+    x = x + attn_out
     record(f"blk.{layer_idx}.attn_out", x)
 
     h2 = rms_norm(x, lp["ffn_norm"], cfg.rms_eps)
@@ -104,6 +110,8 @@ def decoder_layer(
         gate = jax.nn.gelu(linear(h2, lp["ffn_gate"]).astype(jnp.float32), approximate=True)
         up = linear(h2, lp["ffn_up"]).astype(jnp.float32)
     ff = linear((gate * up).astype(x.dtype), lp["ffn_down"])
+    if "post_ffw_norm" in lp:  # Gemma-2/3 sandwich norm
+        ff = rms_norm(ff, lp["post_ffw_norm"], cfg.rms_eps)
     x = x + ff
     record(f"blk.{layer_idx}.ffn_out", x)
     return x, cache

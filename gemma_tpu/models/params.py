@@ -36,6 +36,9 @@ LAYER_TENSORS = (
 
 _NORM_NAMES = {"attn_norm", "ffn_norm"}
 
+# Gemma-2/3 sandwich norms, present only in those exports
+OPTIONAL_LAYER_NORMS = ("post_attention_norm", "post_ffw_norm")
+
 
 def _load_tensor(reader: GGUFReader, name: str, mode: str, *, is_norm: bool = False):
     ti = reader.tensors[name]
@@ -91,6 +94,9 @@ def load_params(
         lp = {}
         for t in LAYER_TENSORS:
             lp[t] = _load_tensor(reader, f"blk.{i}.{t}.weight", mode, is_norm=t in _NORM_NAMES)
+        for t in OPTIONAL_LAYER_NORMS:
+            if f"blk.{i}.{t}.weight" in reader.tensors:
+                lp[t] = _load_tensor(reader, f"blk.{i}.{t}.weight", mode, is_norm=True)
         if fuse_projections:
             _maybe_fuse(lp, ("attn_q", "attn_k", "attn_v"), "attn_qkv")
             _maybe_fuse(lp, ("ffn_gate", "ffn_up"), "ffn_gate_up")

@@ -52,6 +52,7 @@ def sdpa_xla(
     positions: jax.Array,  # [B, T]
     kv_limit: jax.Array,  # [B]
     attn_softcap: float = 0.0,
+    window: int = 0,
 ) -> jax.Array:
     B, T, Hq, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
@@ -64,6 +65,8 @@ def sdpa_xla(
     valid = (key_idx[None, None, :] <= positions[:, :, None]) & (
         key_idx[None, None, :] < kv_limit[:, None, None]
     )
+    if window > 0:  # sliding window: only the last `window` positions
+        valid &= key_idx[None, None, :] > positions[:, :, None] - window
     scores = jnp.where(valid[:, None, None], scores, -1e30)
     w = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhgts,bshd->bthgd", w.astype(v.dtype), v)
@@ -88,6 +91,7 @@ def _flash_kernel(
     n_s_tiles: int,
     block_s: int,
     attn_softcap: float,
+    window: int = 0,
 ):
     s_idx = pl.program_id(3)
 
@@ -107,6 +111,8 @@ def _flash_kernel(
     s_start = s_idx * block_s
     max_pos = tile_pos0 + bq - 1
     tile_live = (s_start <= max_pos) & (s_start < limit)
+    if window > 0:  # tile entirely older than every query's window?
+        tile_live &= s_start + block_s - 1 >= max_pos - (bq - 1) - window + 1
 
     @pl.when(tile_live)
     def _():
@@ -120,6 +126,8 @@ def _flash_kernel(
         key_pos = s_start + jax.lax.broadcasted_iota(jnp.int32, (bq, block_s), 1)
         qpos = tile_pos0 + jax.lax.broadcasted_iota(jnp.int32, (bq, block_s), 0)
         mask = (key_pos <= qpos) & (key_pos < limit)
+        if window > 0:
+            mask &= key_pos > qpos - window
         s = jnp.where(mask, s, MASK_VALUE)
 
         m_prev = m_scr[...][:, :1]  # [bq, 1]
@@ -149,11 +157,12 @@ def _flash_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_s", "attn_softcap", "interpret")
+    jax.jit,
+    static_argnames=("block_q", "block_s", "attn_softcap", "window", "interpret"),
 )
 def _flash_call(
     q_bhtd, k_bhsd, v_bhsd, positions, kv_limit,
-    block_q, block_s, attn_softcap, interpret,
+    block_q, block_s, attn_softcap, window, interpret,
 ):
     B, Hq, T, D = q_bhtd.shape
     Hkv, S = k_bhsd.shape[1], k_bhsd.shape[2]
@@ -162,7 +171,8 @@ def _flash_call(
     grid = (B, Hq, T // block_q, n_s)
 
     kernel = functools.partial(
-        _flash_kernel, n_s_tiles=n_s, block_s=block_s, attn_softcap=attn_softcap
+        _flash_kernel, n_s_tiles=n_s, block_s=block_s,
+        attn_softcap=attn_softcap, window=window,
     )
     out = pl.pallas_call(
         kernel,
@@ -206,6 +216,7 @@ def flash_attention(
     positions: jax.Array,  # [B, T] (consecutive per row for tile-skip)
     kv_limit: jax.Array,  # [B]
     attn_softcap: float = 0.0,
+    window: int = 0,
     block_q: int = DEFAULT_BLOCK_Q,
     block_s: int = DEFAULT_BLOCK_S,
 ) -> jax.Array:
@@ -215,7 +226,7 @@ def flash_attention(
     out = _flash_call(
         q_bhtd, k_bhsd, v_bhsd,
         positions.astype(jnp.int32), kv_limit.astype(jnp.int32),
-        block_q, block_s, float(attn_softcap), _interpret(),
+        block_q, block_s, float(attn_softcap), int(window), _interpret(),
     )
     return out.transpose(0, 2, 1, 3)
 
@@ -227,6 +238,7 @@ def attention(
     positions: jax.Array,
     kv_limit: jax.Array,
     attn_softcap: float = 0.0,
+    window: int = 0,
 ) -> jax.Array:
     """Dispatch: flash on TPU for tile-compatible prefill shapes, XLA
     fallback otherwise (decode T=1, odd shapes, CPU)."""
@@ -238,5 +250,5 @@ def attention(
         and flash_supported(T, S, D)
         and q.shape[2] % k.shape[2] == 0
     ):
-        return flash_attention(q, k, v, positions, kv_limit, attn_softcap)
-    return sdpa_xla(q, k, v, positions, kv_limit, attn_softcap)
+        return flash_attention(q, k, v, positions, kv_limit, attn_softcap, window)
+    return sdpa_xla(q, k, v, positions, kv_limit, attn_softcap, window)

@@ -21,6 +21,13 @@ TINY_CONFIG = GemmaConfig(
     head_dim=16, d_ff=128, context_length=128,
 )
 
+# Gemma-2-style toy: sandwich norms, softcaps, alternating sliding window
+TINY_GEMMA2_CONFIG = GemmaConfig(
+    vocab_size=512, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+    head_dim=16, d_ff=128, context_length=128,
+    sliding_window=16, swa_pattern=2, attn_softcap=50.0, final_softcap=30.0,
+)
+
 
 def make_params(
     cfg: GemmaConfig,
@@ -145,6 +152,12 @@ def make_gguf(
     w = GGUFWriter(path)
     w.add_kv(Keys.ARCHITECTURE, arch)
     w.add_kv(Keys.NAME, "gemma-tpu-synthetic")
+    if cfg.sliding_window:
+        w.add_kv(f"{arch}.attention.sliding_window", cfg.sliding_window)
+    if cfg.attn_softcap:
+        w.add_kv(f"{arch}.attn_logit_softcapping", cfg.attn_softcap)
+    if cfg.final_softcap:
+        w.add_kv(f"{arch}.final_logit_softcapping", cfg.final_softcap)
     w.add_kv(f"{arch}.context_length", cfg.context_length)
     w.add_kv(f"{arch}.embedding_length", cfg.d_model)
     w.add_kv(f"{arch}.block_count", cfg.n_layers)
@@ -187,5 +200,8 @@ def make_gguf(
         mat(f"blk.{i}.ffn_down.weight", cfg.d_model, cfg.d_ff)
         norm(f"blk.{i}.attn_norm.weight", cfg.d_model)
         norm(f"blk.{i}.ffn_norm.weight", cfg.d_model)
+        if arch in ("gemma2", "gemma3"):  # sandwich norms
+            norm(f"blk.{i}.post_attention_norm.weight", cfg.d_model)
+            norm(f"blk.{i}.post_ffw_norm.weight", cfg.d_model)
     w.write()
     return path

@@ -30,33 +30,51 @@ def gelu_tanh(x):
 
 def forward(weights, cfg, tokens):
     """weights: dict of float32 numpy arrays keyed by GGUF tensor names.
-    tokens: [T] int. Returns logits [T, vocab] float32."""
+    tokens: [T] int. Returns logits [T, vocab] float32.
+
+    Covers Gemma-1 and Gemma-2 semantics: sandwich norms (applied when the
+    post_attention_norm / post_ffw_norm tensors exist), attention and final
+    logit softcapping, and per-layer sliding-window masks."""
     T = len(tokens)
     D = cfg.d_model
     positions = np.arange(T)
     x = weights["token_embd.weight"][tokens] * np.sqrt(D)
     for i in range(cfg.n_layers):
         w = lambda n: weights[f"blk.{i}.{n}.weight"]
+        has = lambda n: f"blk.{i}.{n}.weight" in weights
+        window = cfg.layer_window(i)
         h = rms_norm(x, w("attn_norm"), cfg.rms_eps)
         q = (h @ w("attn_q").T).reshape(T, cfg.n_heads, cfg.head_dim)
         k = (h @ w("attn_k").T).reshape(T, cfg.n_kv_heads, cfg.head_dim)
         v = (h @ w("attn_v").T).reshape(T, cfg.n_kv_heads, cfg.head_dim)
-        q = rope_neox(q, positions, cfg.rope_base) * cfg.head_dim**-0.5
+        q = rope_neox(q, positions, cfg.rope_base) * cfg.effective_query_scale
         k = rope_neox(k, positions, cfg.rope_base)
         group = cfg.n_heads // cfg.n_kv_heads
+        mask = np.tril(np.ones((T, T), bool))
+        if window > 0:  # key j visible to query t iff t-window < j <= t
+            mask &= positions[None, :] > positions[:, None] - window
         outs = []
         for hq in range(cfg.n_heads):
             hk = hq // group
             scores = q[:, hq] @ k[:, hk].T  # [T, T]
-            mask = np.tril(np.ones((T, T), bool))
+            if cfg.attn_softcap:
+                scores = cfg.attn_softcap * np.tanh(scores / cfg.attn_softcap)
             scores = np.where(mask, scores, -np.inf)
             p = np.exp(scores - scores.max(axis=-1, keepdims=True))
             p /= p.sum(axis=-1, keepdims=True)
             outs.append(p @ v[:, hk])
         attn = np.stack(outs, axis=1).reshape(T, cfg.n_heads * cfg.head_dim)
-        x = x + attn @ w("attn_output").T
+        attn_out = attn @ w("attn_output").T
+        if has("post_attention_norm"):
+            attn_out = rms_norm(attn_out, w("post_attention_norm"), cfg.rms_eps)
+        x = x + attn_out
         h2 = rms_norm(x, w("ffn_norm"), cfg.rms_eps)
-        ff = gelu_tanh(h2 @ w("ffn_gate").T) * (h2 @ w("ffn_up").T)
-        x = x + ff @ w("ffn_down").T
+        ff = (gelu_tanh(h2 @ w("ffn_gate").T) * (h2 @ w("ffn_up").T)) @ w("ffn_down").T
+        if has("post_ffw_norm"):
+            ff = rms_norm(ff, w("post_ffw_norm"), cfg.rms_eps)
+        x = x + ff
     x = rms_norm(x, weights["output_norm.weight"], cfg.rms_eps)
-    return (x @ weights["token_embd.weight"].T).astype(np.float32)
+    logits = (x @ weights["token_embd.weight"].T).astype(np.float32)
+    if cfg.final_softcap:
+        logits = cfg.final_softcap * np.tanh(logits / cfg.final_softcap)
+    return logits

@@ -49,6 +49,20 @@ def test_flash_softcap(rng):
     np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.parametrize("window", [16, 100, 128])
+def test_flash_sliding_window(window, rng):
+    q, k, v = make_qkv(rng, 1, 128, 256, 4, 2, 128)
+    positions = (jnp.arange(128, dtype=jnp.int32) + 128)[None]  # offset queries
+    kv_limit = jnp.asarray([256], jnp.int32)
+    got = np.asarray(
+        flash_attention(q, k, v, positions, kv_limit, window=window), np.float32
+    )
+    ref = np.asarray(
+        sdpa_xla(q, k, v, positions, kv_limit, window=window), np.float32
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)
+
+
 def test_flash_rows_before_any_key():
     """Query rows with position < 0 valid keys (empty attention) must not NaN."""
     import jax.numpy as jnp
