@@ -44,7 +44,11 @@ def _load_tensor(reader: GGUFReader, name: str, mode: str, *, is_norm: bool = Fa
     ti = reader.tensors[name]
     raw = reader.tensor_raw(name)
     if is_norm or ti.ggml_type not in GGML_TO_FMT or mode == "dequant":
-        x = numpy_ref.dequantize(raw, ti.ggml_type, ti.shape)
+        from .. import native
+
+        x = native.dequantize(raw, ti.ggml_type, ti.shape)
+        if x is None:
+            x = numpy_ref.dequantize(raw, ti.ggml_type, ti.shape)
         return np.asarray(x, np.float32) if is_norm else np.asarray(x, np.float32).astype(jnp.bfloat16)
     return from_ggml(raw, ti.ggml_type, ti.shape)
 

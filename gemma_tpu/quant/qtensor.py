@@ -194,9 +194,14 @@ GGML_TO_FMT = {
 
 def from_ggml(raw, ggml_type: GGMLType, shape: tuple[int, int]) -> QTensor:
     """Convert a ggml-format payload into a device-layout QTensor (host side;
-    arrays stay numpy until device_put)."""
+    arrays stay numpy until device_put). Uses the native (C++) parallel
+    repacker when available; numpy otherwise (bit-identical layouts)."""
     fmt = GGML_TO_FMT[ggml_type]
-    arrays = _PACKERS[fmt][1](raw, shape)
+    from .. import native
+
+    arrays = native.repack(raw, ggml_type, shape)
+    if arrays is None:
+        arrays = _PACKERS[fmt][1](raw, shape)
     return QTensor(fmt, tuple(shape), arrays)
 
 
