@@ -126,10 +126,16 @@ class Engine:
 
     def _step_impl(self, params, logits, key, cache: KVCache, *, sampling: SamplingParams):
         """Sample from `logits`, then run one decode step with the sampled
-        token. Returns (token [B], next_logits [B, vocab], cache)."""
-        tok = sample(logits, sampling, key)
+        token. The PRNG key is split *inside* the step (greedy skips it
+        entirely) so the host issues exactly ONE dispatch per token.
+        Returns (token [B], next_logits [B, vocab], cache, next_key)."""
+        if sampling.is_greedy:
+            tok = sample(logits, sampling, None)
+        else:
+            key, sub = jax.random.split(key)
+            tok = sample(logits, sampling, sub)
         next_logits, cache = self._decode_impl(params, tok, cache)
-        return tok, next_logits, cache
+        return tok, next_logits, cache, key
 
     # -- public API --------------------------------------------------------
     def prefill(self, prompts: list[list[int]], cache: KVCache | None = None):
@@ -274,8 +280,9 @@ class Engine:
 
         check_every = 1 if on_token is not None else max(1, eos_check_every)
         for i in range(budget):
-            key, sub = jax.random.split(key)
-            tok, logits, cache = self._step(self.params, logits, sub, cache, sampling=sampling)
+            tok, logits, cache, key = self._step(
+                self.params, logits, key, cache, sampling=sampling
+            )
             device_toks.append(tok)
             if eos_id is not None and (i + 1) % check_every == 0:
                 if drain():
@@ -297,8 +304,9 @@ class Engine:
         key = jax.random.PRNGKey(seed)
         toks = []
         for _ in range(max_new_tokens):
-            key, sub = jax.random.split(key)
-            tok, logits, cache = self._step(self.params, logits, sub, cache, sampling=sampling)
+            tok, logits, cache, key = self._step(
+                self.params, logits, key, cache, sampling=sampling
+            )
             toks.append(tok)
         # stack on device; ONE host transfer at the end (a per-token fetch
         # pays the accelerator-tunnel round-trip latency per token)

@@ -132,9 +132,8 @@ class Scheduler:
         self._admit()
         if not self.active:
             return []
-        self.key, sub = jax.random.split(self.key)
-        tok, self._logits, self.cache = self.engine._step(
-            self.engine.params, self._logits, sub, self.cache, sampling=self.sampling
+        tok, self._logits, self.cache, self.key = self.engine._step(
+            self.engine.params, self._logits, self.key, self.cache, sampling=self.sampling
         )
         tok_np = np.asarray(tok)
         now = time.monotonic()
