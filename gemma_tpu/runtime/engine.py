@@ -52,6 +52,11 @@ class EngineConfig:
     kv_quantized: bool = False
     prefill_bucket_min: int = 16
     donate_cache: bool = True
+    # tokens decoded per dispatched program in generate_fused: a fully
+    # unrolled K-step block amortizes the fixed per-program dispatch cost
+    # (which dominates through remote-attached accelerators) at the price
+    # of a longer first compile. 1 = one program per token.
+    decode_block: int = 8
     # paged KV-cache (block tables over a shared page pool)
     paged: bool = False
     page_size: int = 16
@@ -73,6 +78,12 @@ class Engine:
         self._step = jax.jit(
             self._step_impl,
             static_argnames=("sampling",),
+            donate_argnums=(3,) if donate else (),
+        )
+        # unrolled K-token block: one dispatch per K tokens
+        self._block = jax.jit(
+            self._block_impl,
+            static_argnames=("sampling", "n"),
             donate_argnums=(3,) if donate else (),
         )
 
@@ -123,6 +134,17 @@ class Engine:
         )
         cache = cache.advance(1)
         return logits[:, 0], cache
+
+    def _block_impl(self, params, logits, key, cache: KVCache, *, sampling: SamplingParams, n: int):
+        """n fused sample+decode steps, unrolled into one program.
+        Returns (tokens [B, n], next_logits, cache, next_key)."""
+        toks = []
+        for _ in range(n):
+            tok, logits, cache, key = self._step_impl(
+                params, logits, key, cache, sampling=sampling
+            )
+            toks.append(tok)
+        return jnp.stack(toks, axis=1), logits, cache, key
 
     def _step_impl(self, params, logits, key, cache: KVCache, *, sampling: SamplingParams):
         """Sample from `logits`, then run one decode step with the sampled
@@ -299,15 +321,20 @@ class Engine:
         seed: int = 0,
     ) -> np.ndarray:
         """Throughput path: chain all steps with zero host syncs, fetch the
-        [B, max_new_tokens] token matrix once at the end (no early EOS exit)."""
+        [B, max_new_tokens] token matrix once at the end (no early EOS exit).
+        Steps are dispatched in unrolled `decode_block`-token programs."""
         logits, cache = self.prefill(prompts)
         key = jax.random.PRNGKey(seed)
-        toks = []
-        for _ in range(max_new_tokens):
-            tok, logits, cache, key = self._step(
-                self.params, logits, key, cache, sampling=sampling
+        block = max(1, self.ecfg.decode_block)
+        chunks = []
+        remaining = max_new_tokens
+        while remaining > 0:
+            n = min(block, remaining)
+            tb, logits, cache, key = self._block(
+                self.params, logits, key, cache, sampling=sampling, n=n
             )
-            toks.append(tok)
-        # stack on device; ONE host transfer at the end (a per-token fetch
+            chunks.append(tb)
+            remaining -= n
+        # concat on device; ONE host transfer at the end (a per-token fetch
         # pays the accelerator-tunnel round-trip latency per token)
-        return np.asarray(jnp.stack(toks, axis=1))
+        return np.asarray(jnp.concatenate(chunks, axis=1))
