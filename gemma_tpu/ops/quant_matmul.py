@@ -104,6 +104,31 @@ def _acc_step(acc_ref, x, w, nsteps, o_ref):
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _acc_two_plane(acc_ref, x, lo, hi, nsteps, o_ref):
+    """Accumulate x_lo @ lo + x_hi @ hi without materializing the [bk, bn]
+    concat: the big dequantized-weight copy was ~25% of kernel time; two
+    half-K MXU dots do the same MACs on the planes in place (x arrives in
+    plane order from the launcher's _permute_x_groups)."""
+    khalf = lo.shape[0]
+    acc_ref[...] += jax.lax.dot_general(
+        x[:, :khalf], lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    acc_ref[...] += jax.lax.dot_general(
+        x[:, khalf:], hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(pl.program_id(2) == nsteps - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _expand16(sc: jax.Array) -> jax.Array:
+    """[G, bn] per-group scalars -> [16G, bn] rows via broadcast+reshape
+    (sublane-replicating jnp.repeat lowers to a slow gather in Mosaic)."""
+    G, bn = sc.shape
+    return jnp.broadcast_to(sc[:, None, :], (G, 16, bn)).reshape(16 * G, bn)
+
+
 def _init_acc(acc_ref):
     @pl.when(pl.program_id(2) == 0)
     def _():
@@ -117,13 +142,12 @@ def _init_acc(acc_ref):
 def _q4_0_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, nsteps):
     # x arrives pre-permuted into nibble-plane order (launcher)
     _init_acc(acc_ref)
-    sc16 = jnp.repeat(_decode_f16(sc_ref[...]), 16, axis=0)  # [bk/2, bn]
+    sc16 = _expand16(_decode_f16(sc_ref[...]))  # [bk/2, bn]
     qf, lof = _byte_f32(qs_ref[...])
     hif = (qf - lof) * 0.0625  # == qs >> 4, exactly, in f32
-    lo = (lof - 8.0) * sc16
-    hi = (hif - 8.0) * sc16
-    w = jnp.concatenate([lo, hi], axis=0).astype(jnp.bfloat16)  # [bk, bn] plane order
-    _acc_step(acc_ref, x_ref[...].astype(jnp.bfloat16), w, nsteps, o_ref)
+    lo = ((lof - 8.0) * sc16).astype(jnp.bfloat16)
+    hi = ((hif - 8.0) * sc16).astype(jnp.bfloat16)
+    _acc_two_plane(acc_ref, x_ref[...].astype(jnp.bfloat16), lo, hi, nsteps, o_ref)
 
 
 def _q8_0_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, nsteps):
@@ -138,14 +162,13 @@ def _q4_k_kernel(x_ref, qs_ref, sc_ref, mn_ref, o_ref, acc_ref, *, nsteps):
     # w = sc*q - mn; mins are per-32-group so the same [bk/2, bn] expansion
     # serves both nibble planes — subtracted directly in the weight tile.
     _init_acc(acc_ref)
-    sc16 = jnp.repeat(_decode_f16(sc_ref[...]), 16, axis=0)
-    mn16 = jnp.repeat(_decode_f16(mn_ref[...]), 16, axis=0)
+    sc16 = _expand16(_decode_f16(sc_ref[...]))
+    mn16 = _expand16(_decode_f16(mn_ref[...]))
     qf, lof = _byte_f32(qs_ref[...])
     hif = (qf - lof) * 0.0625
-    lo = lof * sc16 - mn16
-    hi = hif * sc16 - mn16
-    w = jnp.concatenate([lo, hi], axis=0).astype(jnp.bfloat16)
-    _acc_step(acc_ref, x_ref[...].astype(jnp.bfloat16), w, nsteps, o_ref)
+    lo = (lof * sc16 - mn16).astype(jnp.bfloat16)
+    hi = (hif * sc16 - mn16).astype(jnp.bfloat16)
+    _acc_two_plane(acc_ref, x_ref[...].astype(jnp.bfloat16), lo, hi, nsteps, o_ref)
 
 
 def _q6_k_kernel(x_ref, ql_ref, qh_ref, sc_ref, o_ref, acc_ref, *, nsteps):
@@ -180,10 +203,11 @@ def _q6_k_kernel(x_ref, ql_ref, qh_ref, sc_ref, o_ref, acc_ref, *, nsteps):
     hi_q = (ql_hi + 16.0 * hi_for_hi) - 32.0
 
     sc = _decode_f16(sc_ref[...]).reshape(n32, 2, bn)
-    sc_lo = jnp.repeat(sc[:, :1, :], 16, axis=1).reshape(bk // 2, bn)
-    sc_hi = jnp.repeat(sc[:, 1:, :], 16, axis=1).reshape(bk // 2, bn)
-    w = jnp.concatenate([lo_q * sc_lo, hi_q * sc_hi], axis=0).astype(jnp.bfloat16)
-    _acc_step(acc_ref, x_ref[...].astype(jnp.bfloat16), w, nsteps, o_ref)
+    sc_lo = jnp.broadcast_to(sc[:, :1, :], (n32, 16, bn)).reshape(bk // 2, bn)
+    sc_hi = jnp.broadcast_to(sc[:, 1:, :], (n32, 16, bn)).reshape(bk // 2, bn)
+    lo = (lo_q * sc_lo).astype(jnp.bfloat16)
+    hi = (hi_q * sc_hi).astype(jnp.bfloat16)
+    _acc_two_plane(acc_ref, x_ref[...].astype(jnp.bfloat16), lo, hi, nsteps, o_ref)
 
 
 # ---------------------------------------------------------------------------
@@ -208,16 +232,18 @@ _FMT_MIN_BK = {"q4_0": 256, "q8_0": 256, "q4_k": 256, "q6_k": 256}
 
 
 def _pick_bk(K: int, fmt: str) -> int | None:
-    for bk in (1024, 512, 256):
+    # 512 first: smaller K-tiles double-buffer better (measured ~15% on the
+    # d_ff-K ffn_down matmul vs bk=1024)
+    for bk in (512, 1024, 256):
         if bk >= _FMT_MIN_BK[fmt] and K % bk == 0:
             return bk
     return None
 
 
 def _pick_bn(N: int) -> int | None:
-    # Large-N matmuls (the 256k-vocab head) amortize per-grid-step overhead
-    # with wider tiles; VMEM stays in budget via vmem_limit_bytes below.
-    if N >= 65536 and N % 2048 == 0:
+    # Wide-N matmuls (gate_up, the 256k-vocab head) amortize per-grid-step
+    # overhead with wider tiles; VMEM stays in budget via vmem_limit_bytes.
+    if N >= 16384 and N % 2048 == 0:
         return 2048
     if N >= 8192 and N % 1024 == 0:
         return 1024
@@ -243,8 +269,6 @@ def _qmm_call(x2d, arrays, fmt, shape, keys, interpret):
     bm = M  # caller already padded/bucketed M
     bk = _pick_bk(K, fmt)
     bn = _pick_bn(N)
-    if bn >= 1024 and bk > 512:
-        bk = 512  # keep dequant intermediates (f32 [bk/2, bn] x3) in VMEM
     nsteps = K // bk
     grid = (M // bm, N // bn, nsteps)
 

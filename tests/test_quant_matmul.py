@@ -21,6 +21,10 @@ CASES = [
     ("q4_k", (128, 1024), 16),
     ("q6_k", (256, 512), 1),
     ("q6_k", (128, 512), 9),
+    # wide-N: exercises the bn=1024/2048 tile picks (gate_up / lm_head
+    # geometry) and the x-permute <-> weight-tile window alignment
+    ("q4_0", (8192, 512), 1),
+    ("q4_0", (16384, 512), 1),
 ]
 
 
