@@ -231,6 +231,103 @@ def flash_attention(
     return out.transpose(0, 2, 1, 3)
 
 
+# ---------------------------------------------------------------------------
+# Decode kernel (T=1): one fused program per layer instead of the ~6 XLA
+# fusions (einsum, mask, softmax, einsum) of sdpa_xla — at batch-1 decode
+# those small launches cost more than the KV stream itself.
+# ---------------------------------------------------------------------------
+
+def _decode_kernel(lim_ref, q_ref, k_ref, v_ref, o_ref, *, window: int,
+                   attn_softcap: float):
+    limit = lim_ref[0, 0]
+    q = q_ref[0, 0]  # [G, D]
+    k = k_ref[0, :, 0, :]  # [S, D]
+    v = v_ref[0, :, 0, :]
+    G, D = q.shape
+    S = k.shape[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [G, S]
+    if attn_softcap:
+        s = attn_softcap * jnp.tanh(s / attn_softcap)
+    col = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
+    mask = col < limit
+    if window > 0:
+        mask &= col > limit - 1 - window
+    s = jnp.where(mask, s, MASK_VALUE)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = jnp.where(mask, p, 0.0)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    p = p / jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "attn_softcap", "interpret")
+)
+def _decode_call(q_bhgd, k, v, kv_limit, window, attn_softcap, interpret):
+    B, Hkv, G, D = q_bhgd.shape
+    S = k.shape[1]
+    kernel = functools.partial(
+        _decode_kernel, window=window, attn_softcap=attn_softcap
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b, h: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, G, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, S, 1, D), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, S, 1, D), lambda b, h: (b, 0, h, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(kv_limit.reshape(B, 1), q_bhgd, k, v)
+    return out
+
+
+def decode_attention(
+    q: jax.Array,  # [B, 1, Hq, D] scaled
+    k: jax.Array,  # [B, S, Hkv, D]
+    v: jax.Array,
+    kv_limit: jax.Array,  # [B]; the query is at position kv_limit-1
+    attn_softcap: float = 0.0,
+    window: int = 0,
+) -> jax.Array:
+    B, T, Hq, D = q.shape
+    Hkv = k.shape[2]
+    G = Hq // Hkv
+    Gp = max(G, MIN_DECODE_G)
+    qg = q.reshape(B, Hkv, G, D)
+    if Gp != G:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
+    out = _decode_call(
+        qg, k, v, kv_limit.astype(jnp.int32),
+        int(window), float(attn_softcap), _interpret(),
+    )
+    return out[:, :, :G].reshape(B, 1, Hq, D).astype(q.dtype)
+
+
+MIN_DECODE_G = 8
+
+
+def decode_supported(T: int, S: int, Hq: int, Hkv: int, D: int) -> bool:
+    return (
+        T == 1
+        and D % NUM_LANES == 0
+        and S % 8 == 0
+        and Hq % Hkv == 0
+    )
+
+
 def attention(
     q: jax.Array,  # [B, T, Hq, D] scaled
     k: jax.Array,
@@ -240,15 +337,15 @@ def attention(
     attn_softcap: float = 0.0,
     window: int = 0,
 ) -> jax.Array:
-    """Dispatch: flash on TPU for tile-compatible prefill shapes, XLA
-    fallback otherwise (decode T=1, odd shapes, CPU)."""
+    """Dispatch: flash kernel for tile-compatible prefill shapes, fused
+    decode kernel for T=1, XLA fallback otherwise (odd shapes, CPU)."""
     B, T, Hq, D = q.shape
     S = k.shape[1]
+    Hkv = k.shape[2]
     use_interpret = os.environ.get("GEMMA_TPU_INTERPRET_KERNELS") == "1"
-    if (
-        (not _interpret() or use_interpret)
-        and flash_supported(T, S, D)
-        and q.shape[2] % k.shape[2] == 0
-    ):
+    on_kernel_path = not _interpret() or use_interpret
+    if on_kernel_path and decode_supported(T, S, Hq, Hkv, D):
+        return decode_attention(q, k, v, kv_limit, attn_softcap, window)
+    if on_kernel_path and flash_supported(T, S, D) and Hq % Hkv == 0:
         return flash_attention(q, k, v, positions, kv_limit, attn_softcap, window)
     return sdpa_xla(q, k, v, positions, kv_limit, attn_softcap, window)

@@ -139,14 +139,22 @@ def _init_acc(acc_ref):
 # Kernels — all weight refs are K-major tiles
 # ---------------------------------------------------------------------------
 
-def _q4_0_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, nsteps):
-    # x arrives pre-permuted into nibble-plane order (launcher)
+def _q4_0_kernel(x_ref, xs_ref, qs_ref, sc_ref, o_ref, acc_ref, *, nsteps):
+    # x arrives pre-permuted into nibble-plane order (launcher).
+    # Zero-point folding: w = (q - 8)·sc, so y = x@(q·sc) - 8·(xsum32 @ sc)
+    # — the offset leaves the per-element path (2 VPU subs per weight pair)
+    # and becomes one [bm, bk/32] x [bk/32, bn] MXU dot on the group sums.
     _init_acc(acc_ref)
-    sc16 = _expand16(_decode_f16(sc_ref[...]))  # [bk/2, bn]
+    scf = _decode_f16(sc_ref[...])  # [bk/32, bn]
+    sc16 = _expand16(scf)  # [bk/2, bn]
     qf, lof = _byte_f32(qs_ref[...])
     hif = (qf - lof) * 0.0625  # == qs >> 4, exactly, in f32
-    lo = ((lof - 8.0) * sc16).astype(jnp.bfloat16)
-    hi = ((hif - 8.0) * sc16).astype(jnp.bfloat16)
+    lo = (lof * sc16).astype(jnp.bfloat16)
+    hi = (hif * sc16).astype(jnp.bfloat16)
+    acc_ref[...] -= 8.0 * jax.lax.dot_general(
+        xs_ref[...], scf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     _acc_two_plane(acc_ref, x_ref[...].astype(jnp.bfloat16), lo, hi, nsteps, o_ref)
 
 
@@ -158,24 +166,30 @@ def _q8_0_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, nsteps):
     _acc_step(acc_ref, x_ref[...].astype(jnp.bfloat16), w, nsteps, o_ref)
 
 
-def _q4_k_kernel(x_ref, qs_ref, sc_ref, mn_ref, o_ref, acc_ref, *, nsteps):
-    # w = sc*q - mn; mins are per-32-group so the same [bk/2, bn] expansion
-    # serves both nibble planes — subtracted directly in the weight tile.
+def _q4_k_kernel(x_ref, xs_ref, qs_ref, sc_ref, mn_ref, o_ref, acc_ref, *, nsteps):
+    # w = sc*q - mn with per-32-group mins: the min term is rank-reduced to
+    # y -= xsum32 @ mn (one small MXU dot) instead of a [bk, bn] expansion
+    # + subtract in the weight tile.
     _init_acc(acc_ref)
     sc16 = _expand16(_decode_f16(sc_ref[...]))
-    mn16 = _expand16(_decode_f16(mn_ref[...]))
+    mnf = _decode_f16(mn_ref[...])  # [bk/32, bn]
     qf, lof = _byte_f32(qs_ref[...])
     hif = (qf - lof) * 0.0625
-    lo = (lof * sc16 - mn16).astype(jnp.bfloat16)
-    hi = (hif * sc16 - mn16).astype(jnp.bfloat16)
+    lo = (lof * sc16).astype(jnp.bfloat16)
+    hi = (hif * sc16).astype(jnp.bfloat16)
+    acc_ref[...] -= jax.lax.dot_general(
+        xs_ref[...], mnf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     _acc_two_plane(acc_ref, x_ref[...].astype(jnp.bfloat16), lo, hi, nsteps, o_ref)
 
 
-def _q6_k_kernel(x_ref, ql_ref, qh_ref, sc_ref, o_ref, acc_ref, *, nsteps):
+def _q6_k_kernel(x_ref, xs_ref, ql_ref, qh_ref, sc_ref, o_ref, acc_ref, *, nsteps):
     """Q6_K: w = sc16 * (q6 - 32); q6 = lo4 | (hi2 << 4).
 
     qh row 8g+j holds the hi-2 bits of elements 32g+{j, j+8, j+16, j+24}
-    at shifts 0/2/4/6; scales are per-16 (group g lo-half -> sc[2g])."""
+    at shifts 0/2/4/6; scales are per-16 (group g lo-half -> sc[2g]).
+    The -32 offset folds into y -= 32·(xsum16 @ sc) like the q4 formats."""
     _init_acc(acc_ref)
     bk = x_ref.shape[-1]
     bn = ql_ref.shape[-1]
@@ -199,14 +213,19 @@ def _q6_k_kernel(x_ref, ql_ref, qh_ref, sc_ref, o_ref, acc_ref, *, nsteps):
 
     hi_for_lo = merge8(h[0], h[1])
     hi_for_hi = merge8(h[2], h[3])
-    lo_q = (ql_lo + 16.0 * hi_for_lo) - 32.0
-    hi_q = (ql_hi + 16.0 * hi_for_hi) - 32.0
+    lo_q = ql_lo + 16.0 * hi_for_lo
+    hi_q = ql_hi + 16.0 * hi_for_hi
 
-    sc = _decode_f16(sc_ref[...]).reshape(n32, 2, bn)
+    scf = _decode_f16(sc_ref[...])  # [bk/16, bn] per-16 scales
+    sc = scf.reshape(n32, 2, bn)
     sc_lo = jnp.broadcast_to(sc[:, :1, :], (n32, 16, bn)).reshape(bk // 2, bn)
     sc_hi = jnp.broadcast_to(sc[:, 1:, :], (n32, 16, bn)).reshape(bk // 2, bn)
     lo = (lo_q * sc_lo).astype(jnp.bfloat16)
     hi = (hi_q * sc_hi).astype(jnp.bfloat16)
+    acc_ref[...] -= 32.0 * jax.lax.dot_general(
+        xs_ref[...], scf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     _acc_two_plane(acc_ref, x_ref[...].astype(jnp.bfloat16), lo, hi, nsteps, o_ref)
 
 
@@ -229,6 +248,8 @@ _FMT_KERNELS = {
 # Minimum K-tile: every array's sublane tile (qs: bk/2, qh: bk/4 rows,
 # scales: bk/32) must be >= 8 rows; q6_k per-16 scales want bk/16 >= 8.
 _FMT_MIN_BK = {"q4_0": 256, "q8_0": 256, "q4_k": 256, "q6_k": 256}
+# zero-point fold: group size of the xsum side input (None = no fold)
+_FMT_XSUM_GROUP = {"q4_0": 32, "q8_0": None, "q4_k": 32, "q6_k": 16}
 
 
 def _pick_bk(K: int, fmt: str) -> int | None:
@@ -263,7 +284,7 @@ def supports(x_shape: tuple[int, ...], qt: QTensor) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("fmt", "shape", "keys", "interpret"))
-def _qmm_call(x2d, arrays, fmt, shape, keys, interpret):
+def _qmm_call(x2d, xs, arrays, fmt, shape, keys, interpret):
     N, K = shape
     M = x2d.shape[0]
     bm = M  # caller already padded/bucketed M
@@ -279,7 +300,16 @@ def _qmm_call(x2d, arrays, fmt, shape, keys, interpret):
         return pl.BlockSpec((tile_r, bn), lambda m, n, k: (k, n))
 
     in_specs = [pl.BlockSpec((bm, bk), lambda m, n, k: (m, k))]
+    inputs = [x2d]
+    if xs is not None:
+        # per-group activation sums for the zero-point/min fold, stored
+        # transposed [K/g, M]: the K-tiled block (bk/g, M) then satisfies
+        # Mosaic's (8, 128-or-full) tiling rule for any decode/prefill M
+        g = K // xs.shape[0]
+        in_specs.append(pl.BlockSpec((bk // g, M), lambda m, n, k: (k, m)))
+        inputs.append(xs)
     in_specs += [wspec(arrays[k]) for k in keys]
+    inputs += [arrays[k] for k in keys]
 
     flops = 2 * M * N * K
     bytes_accessed = sum(int(arrays[k].size) * arrays[k].dtype.itemsize for k in keys)
@@ -299,7 +329,7 @@ def _qmm_call(x2d, arrays, fmt, shape, keys, interpret):
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
-    )(x2d, *[arrays[k] for k in keys])
+    )(*inputs)
     return out
 
 
@@ -319,10 +349,16 @@ def quant_matmul(x: jax.Array, qt: QTensor) -> jax.Array:
     Mp = ((M + bm - 1) // bm) * bm
     if Mp != M:
         x2d = jnp.pad(x2d, ((0, Mp - M), (0, 0)))
+    g = _FMT_XSUM_GROUP[qt.fmt]
+    xs = (
+        x2d.astype(jnp.float32).reshape(Mp, K // g, g).sum(-1).T
+        if g is not None
+        else None
+    )
     if qt.fmt in ("q4_0", "q4_k", "q6_k"):  # nibble-plane element order
         x2d = _permute_x_groups(x2d, _pick_bk(K, qt.fmt))
     keys = _FMT_ARRAYS[qt.fmt]
-    out = _qmm_call(x2d, qt.arrays, qt.fmt, qt.shape, keys, _interpret())
+    out = _qmm_call(x2d, xs, qt.arrays, qt.fmt, qt.shape, keys, _interpret())
     if Mp != M:
         out = out[:M]
     return out.reshape(*lead, N)

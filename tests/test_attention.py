@@ -6,7 +6,13 @@ import pytest
 
 import jax.numpy as jnp
 
-from gemma_tpu.ops.attention import flash_attention, flash_supported, sdpa_xla
+from gemma_tpu.ops.attention import (
+    decode_attention,
+    decode_supported,
+    flash_attention,
+    flash_supported,
+    sdpa_xla,
+)
 
 os.environ["GEMMA_TPU_INTERPRET_KERNELS"] = "1"
 
@@ -59,6 +65,33 @@ def test_flash_sliding_window(window, rng):
     )
     ref = np.asarray(
         sdpa_xla(q, k, v, positions, kv_limit, window=window), np.float32
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)
+
+
+DECODE_CASES = [
+    # B, S, Hq, Hkv, D, limits, softcap, window
+    (1, 512, 8, 1, 256, [200], 0.0, 0),      # Gemma-2B MQA
+    (2, 256, 16, 16, 256, [77, 130], 0.0, 0),  # Gemma-7B MHA (G=1 padding)
+    (1, 256, 8, 2, 128, [256], 30.0, 0),     # GQA + softcap
+    (1, 512, 8, 1, 256, [300], 0.0, 64),     # sliding window
+    (1, 512, 8, 1, 256, [1], 0.0, 0),        # single valid key
+]
+
+
+@pytest.mark.parametrize("B,S,Hq,Hkv,D,limits,cap,win", DECODE_CASES)
+def test_decode_kernel_matches_xla(B, S, Hq, Hkv, D, limits, cap, win, rng):
+    assert decode_supported(1, S, Hq, Hkv, D)
+    q, k, v = make_qkv(rng, B, 1, S, Hq, Hkv, D)
+    kv_limit = jnp.asarray(limits, jnp.int32)
+    positions = (kv_limit - 1)[:, None]  # decode: query sits at limit-1
+    got = np.asarray(
+        decode_attention(q, k, v, kv_limit, attn_softcap=cap, window=win),
+        np.float32,
+    )
+    ref = np.asarray(
+        sdpa_xla(q, k, v, positions, kv_limit, attn_softcap=cap, window=win),
+        np.float32,
     )
     np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)
 
