@@ -267,8 +267,29 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def _setup_compile_cache() -> None:
+    """Persistent XLA/Mosaic compile cache (GEMMA_TPU_CACHE_DIR or
+    ~/.cache/gemma_tpu/jax). Keys are made source-location-independent so
+    unrelated edits don't force the ~minutes-long TPU kernel recompile."""
+    import os
+
+    import jax
+
+    cache = os.environ.get(
+        "GEMMA_TPU_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "gemma_tpu", "jax"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_traceback_in_locations_limit", 0)
+    except Exception:
+        pass  # backend already initialized with other settings
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    _setup_compile_cache()
     return args.fn(args)
 
 

@@ -8,6 +8,8 @@ import os
 import time
 
 import jax
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import jax.numpy as jnp
 import numpy as np
 
