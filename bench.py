@@ -22,18 +22,10 @@ import time
 import jax
 import numpy as np
 
-# Persistent compilation cache: Mosaic/XLA compiles go through a remote
-# helper that can take minutes under contention; cache them across runs.
-# Repo-local so the cache survives /tmp wipes between benchmark runs; a cold
-# compile of the unrolled decode block through the remote Mosaic helper takes
-# ~8 min, a warm one seconds.
-_DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", _DEFAULT_CACHE))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-# Mosaic kernel payloads embed MLIR source locations incl. caller tracebacks;
-# without this, editing ANY file in the call stack (even a comment) changes
-# the cache key and forces a full recompile.
-jax.config.update("jax_traceback_in_locations_limit", 0)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from gemma_tpu.compile_cache import setup_compile_cache
+
+setup_compile_cache()
 
 
 def _log(msg: str) -> None:

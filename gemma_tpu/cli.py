@@ -186,9 +186,19 @@ def cmd_bench(args) -> int:
             paged=args.paged, page_size=args.page_size,
         ),
     )
-    prompt = tok.encode(args.prompt) if args.prompt else list(range(2, 66))
-    prompts = [prompt] * args.batch
     n = args.max_new_tokens
+    if args.prompt:
+        prompt = tok.encode(args.prompt)
+    else:
+        # default prompt must leave room for the 2n-token measurement run
+        plen = max(1, min(64, args.max_seq_len - 2 * n - 1))
+        prompt = list(range(2, 2 + plen))
+    if len(prompt) + 2 * n > args.max_seq_len:
+        raise SystemExit(
+            f"prompt ({len(prompt)}) + 2*max_new_tokens ({2 * n}) exceeds "
+            f"--max-seq-len {args.max_seq_len}"
+        )
+    prompts = [prompt] * args.batch
     eng.generate_fused(prompts, max_new_tokens=8)  # compile
     t0 = time.perf_counter()
     eng.generate_fused(prompts, max_new_tokens=n)
@@ -267,29 +277,11 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
-def _setup_compile_cache() -> None:
-    """Persistent XLA/Mosaic compile cache (GEMMA_TPU_CACHE_DIR or
-    ~/.cache/gemma_tpu/jax). Keys are made source-location-independent so
-    unrelated edits don't force the ~minutes-long TPU kernel recompile."""
-    import os
-
-    import jax
-
-    cache = os.environ.get(
-        "GEMMA_TPU_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "gemma_tpu", "jax"),
-    )
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        jax.config.update("jax_traceback_in_locations_limit", 0)
-    except Exception:
-        pass  # backend already initialized with other settings
-
-
 def main(argv: list[str] | None = None) -> int:
+    from .compile_cache import setup_compile_cache
+
     args = build_parser().parse_args(argv)
-    _setup_compile_cache()
+    setup_compile_cache()
     return args.fn(args)
 
 

@@ -275,8 +275,12 @@ class Engine:
         if max_new_tokens <= 0:
             return [[] for _ in range(B)]
         logits, cache = self.prefill(prompts)
-        max_total = int(np.asarray(cache.length).max()) + max_new_tokens
-        budget = min(max_new_tokens, self.ecfg.max_seq_len - (max_total - max_new_tokens) + 1)
+        # each decode step writes the incoming token's K/V at index `length`,
+        # so exactly max_seq_len - prompt_len steps fit; one more would write
+        # at index max_seq_len, which scatter silently drops and the step's
+        # logits would miss the token's own K/V.
+        prompt_len = int(np.asarray(cache.length).max())
+        budget = min(max_new_tokens, self.ecfg.max_seq_len - prompt_len)
         key = jax.random.PRNGKey(seed)
         device_toks: list[jax.Array] = []
         out: list[list[int]] = [[] for _ in range(B)]
@@ -324,6 +328,12 @@ class Engine:
         [B, max_new_tokens] token matrix once at the end (no early EOS exit).
         Steps are dispatched in unrolled `decode_block`-token programs."""
         logits, cache = self.prefill(prompts)
+        prompt_len = int(np.asarray(cache.length).max())
+        if max_new_tokens > self.ecfg.max_seq_len - prompt_len:
+            raise ValueError(
+                f"max_new_tokens={max_new_tokens} exceeds cache capacity "
+                f"({self.ecfg.max_seq_len} - prompt {prompt_len})"
+            )
         key = jax.random.PRNGKey(seed)
         block = max(1, self.ecfg.decode_block)
         chunks = []

@@ -4,7 +4,8 @@ BASELINE.md requires Δperplexity ≤ 0.05 vs the ggml Q4_0/Q8_0 baselines.
 The reference has no evaluator at all (greedy generation only); this one
 scores any token stream with the engine's own prefill graph: windows of
 `ctx` tokens, teacher-forced, mean negative log-likelihood over predicted
-positions.
+positions. Windows are padded to one compiled shape; padded positions are
+masked out of the NLL inside the jitted forward (no separate tail path).
 """
 from __future__ import annotations
 
@@ -26,8 +27,9 @@ class PerplexityResult:
         return self.ppl - other.ppl
 
 
-def _window_nll(params, cfg, tokens: jax.Array, cache) -> tuple[jax.Array, jax.Array]:
-    """NLL of tokens[1:] given tokens[:-1] in one forward. tokens [T]."""
+def _window_nll(params, cfg, tokens: jax.Array, real: jax.Array, cache) -> jax.Array:
+    """Sum of NLL of tokens[1:real] given their prefixes. tokens [T] padded,
+    `real` = number of valid tokens in the window (scalar i32)."""
     from ..models import gemma
 
     T = tokens.shape[0]
@@ -39,7 +41,8 @@ def _window_nll(params, cfg, tokens: jax.Array, cache) -> tuple[jax.Array, jax.A
     )
     logp = jax.nn.log_softmax(logits[0, :-1].astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, tokens[1:, None], axis=-1)[:, 0]
-    return nll.sum(), jnp.asarray(T - 1)
+    mask = jnp.arange(T - 1) < real - 1  # predicted positions 1..real-1
+    return jnp.where(mask, nll, 0.0).sum()
 
 
 def evaluate(
@@ -54,40 +57,19 @@ def evaluate(
 
     tokens = np.asarray(tokens, np.int32)
     stride = stride or ctx
-    fn = jax.jit(lambda p, t, c: _window_nll(p, cfg, t, c))
+    fn = jax.jit(lambda p, t, r, c: _window_nll(p, cfg, t, r, c))
     total_nll = 0.0
     total_n = 0
     for start in range(0, max(1, len(tokens) - 1), stride):
         window = tokens[start : start + ctx]
-        if len(window) < 2:
+        real = len(window)
+        if real < 2:
             break
-        if len(window) < ctx:  # pad to keep one compiled shape
-            window = np.pad(window, (0, ctx - len(window)))
-            real = len(tokens[start : start + ctx]) - 1
-        else:
-            real = ctx - 1
+        if real < ctx:  # pad to keep one compiled shape
+            window = np.pad(window, (0, ctx - real))
         cache = KVCache.create(cfg, 1, ctx)
-        nll_sum, _ = fn(params, jnp.asarray(window), cache)
-        # padded positions contribute garbage; recompute cheaply by masking:
-        # only count `real` positions
-        if real < ctx - 1:
-            # re-run precise accounting on the unpadded slice (rare tail)
-            nll_arr = _eager_nll(params, cfg, tokens[start : start + ctx])
-            total_nll += float(nll_arr.sum())
-            total_n += int(nll_arr.shape[0])
-        else:
-            total_nll += float(nll_sum)
-            total_n += real
+        nll_sum = fn(params, jnp.asarray(window), jnp.asarray(real, jnp.int32), cache)
+        total_nll += float(nll_sum)
+        total_n += real - 1
     nll = total_nll / max(total_n, 1)
     return PerplexityResult(nll=nll, ppl=math.exp(nll), n_tokens=total_n)
-
-
-def _eager_nll(params, cfg, tokens: np.ndarray) -> np.ndarray:
-    from ..runtime.kv_cache import KVCache
-
-    T = len(tokens)
-    cache = KVCache.create(cfg, 1, T)
-    t = jnp.asarray(tokens, jnp.int32)
-    nll_sum, n = _window_nll(params, cfg, t, cache)
-    # per-token breakdown not needed; return a vector summing to nll_sum
-    return np.full(int(n), float(nll_sum) / max(int(n), 1), np.float32)

@@ -135,3 +135,30 @@ def test_int8_kv_cache_close(tiny_model):
     lq, _ = q8.prefill([prompt])
     lb, lq = np.asarray(lb[0]), np.asarray(lq[0])
     assert int(np.argmax(lb)) == int(np.argmax(lq))
+
+
+def test_generate_at_cache_capacity(tiny_model):
+    """Fill the cache exactly to capacity: every decoded token's K/V must be
+    written (a budget off-by-one would silently drop the final write and
+    compute the last logits without the token's own K/V)."""
+    cfg, params, weights, _ = tiny_model
+    prompt = [1, 7, 300]
+    S = 16
+    eng = Engine(cfg, params, EngineConfig(max_seq_len=S, donate_cache=False))
+    # ask for more than fits; generate must clamp to S - len(prompt) steps
+    out = eng.generate([prompt], max_new_tokens=S)[0]
+    assert len(out) == S - len(prompt)
+
+    # numpy greedy loop for the same number of steps
+    seq = list(prompt)
+    for _ in range(S - len(prompt)):
+        logits = ref_numpy_gemma.forward(weights, cfg, seq)
+        seq.append(int(np.argmax(logits[-1])))
+    assert out == seq[len(prompt):]
+
+
+def test_generate_fused_rejects_over_capacity(tiny_model):
+    cfg, params, _, _ = tiny_model
+    eng = Engine(cfg, params, EngineConfig(max_seq_len=16, donate_cache=False))
+    with pytest.raises(ValueError):
+        eng.generate_fused([[1, 7, 300]], max_new_tokens=14)

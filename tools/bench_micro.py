@@ -18,8 +18,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from gemma_tpu.compile_cache import setup_compile_cache
+
+setup_compile_cache()
 
 from gemma_tpu.models import GEMMA_2B
 from gemma_tpu.ops.quant_matmul import quant_matmul
