@@ -69,6 +69,7 @@ def cmd_generate(args) -> int:
 
     if args.profile:
         profiling.enable()
+        profiling.autoset_peaks()
     reader, cfg, params, tok = _load(args)
 
     if args.tokens:
@@ -102,22 +103,32 @@ def cmd_generate(args) -> int:
         if args.stream:
             print(text, end="", flush=True)
 
+    # separate prefill/decode wall-clock, like the reference's report
+    # (gemma_model.cpp:566-572). Prefill is timed to first-token logits on
+    # host (true TTFT); decode is the remaining generation wall time.
+    import numpy as np
+
     t0 = time.time()
-    # timing split mirrors the reference's prefill/decode wall-clock report
-    # (gemma_model.cpp:566-572); prefill time is folded into TTFT here.
-    out = eng.generate(
-        [prompt], budget, sampling=sampling, eos_id=eos, seed=args.seed,
-        on_token=on_token if args.stream else None,
+    first_logits, cache = eng.prefill([prompt])
+    np.asarray(first_logits[:1, :1])  # force device sync for honest TTFT
+    t_prefill = time.time() - t0
+
+    t1 = time.time()
+    out = eng.generate_from(
+        first_logits, cache, budget, sampling=sampling, eos_id=eos,
+        seed=args.seed, on_token=on_token if args.stream else None,
     )[0]
-    dt = time.time() - t0
+    t_decode = time.time() - t1
     if args.stream:
         print()
     else:
         print(tok.decode(out))
     n = len(out)
     print(
-        f"[{len(prompt)} prompt + {n} generated tokens in {dt:.2f}s "
-        f"= {(n / dt if dt > 0 else 0):.2f} tok/s end-to-end]",
+        f"[prefill {len(prompt)} tokens in {t_prefill*1e3:.1f} ms "
+        f"({len(prompt)/max(t_prefill,1e-9):.1f} tok/s); "
+        f"decode {n} tokens in {t_decode:.2f}s "
+        f"({n/max(t_decode,1e-9):.2f} tok/s)]",
         file=sys.stderr,
     )
     if args.profile:

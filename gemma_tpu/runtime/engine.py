@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import Any, Callable
 
 import jax
@@ -33,6 +34,8 @@ import numpy as np
 
 from ..models import gemma
 from ..models.config import GemmaConfig
+from ..quant.qtensor import QTensor
+from ..utils import profiling as prof
 from .kv_cache import KVCache
 from .sampler import SamplingParams, sample
 
@@ -86,6 +89,43 @@ class Engine:
             static_argnames=("sampling", "n"),
             donate_argnums=(3,) if donate else (),
         )
+
+    @functools.cached_property
+    def _weight_stats(self) -> tuple[int, int]:
+        """(HBM bytes streamed per decode step, logical weight elements) —
+        feeds the roofline ledger; decode streams every weight once."""
+        nbytes = 0
+        nelems = 0
+
+        def visit(node):
+            nonlocal nbytes, nelems
+            if isinstance(node, QTensor):
+                nbytes += node.nbytes()
+                nelems += node.shape[0] * node.shape[1]
+            elif hasattr(node, "shape") and hasattr(node, "dtype"):
+                nbytes += int(np.prod(node.shape)) * node.dtype.itemsize
+                nelems += int(np.prod(node.shape))
+            elif isinstance(node, dict):
+                for v in node.values():
+                    visit(v)
+            elif isinstance(node, (list, tuple)):
+                for v in node:
+                    visit(v)
+
+        visit(self.params)
+        return nbytes, nelems
+
+    def _record_decode_roofline(self, n_steps: int, batch: int, seconds: float) -> None:
+        if not prof.is_enabled() or n_steps <= 0 or seconds <= 0:
+            return
+        nbytes, nelems = self._weight_stats
+        prof.roofline(
+            f"decode.steps[B={batch}]",
+            seconds=seconds,
+            bytes_moved=nbytes * n_steps,
+            flops=2 * nelems * n_steps * batch,
+        )
+        prof.add_count("tokens.decoded", n_steps * batch)
 
     # -- cache -------------------------------------------------------------
     def new_cache(self, batch: int | None = None):
@@ -169,7 +209,10 @@ class Engine:
         for i, p in enumerate(prompts):
             toks[i, : len(p)] = p
         cache = cache if cache is not None else self.new_cache(B)
-        return self._prefill(self.params, jnp.asarray(toks), jnp.asarray(lengths), cache)
+        with prof.span(f"prefill.dispatch[B={B},T={T}]"):
+            out = self._prefill(self.params, jnp.asarray(toks), jnp.asarray(lengths), cache)
+        prof.add_count("tokens.prefilled", int(lengths.sum()))
+        return out
 
     def decode_step(self, tokens: jax.Array, cache: KVCache):
         return self._decode(self.params, tokens, cache)
@@ -275,6 +318,27 @@ class Engine:
         if max_new_tokens <= 0:
             return [[] for _ in range(B)]
         logits, cache = self.prefill(prompts)
+        return self.generate_from(
+            logits, cache, max_new_tokens,
+            sampling=sampling, eos_id=eos_id, seed=seed, on_token=on_token,
+            eos_check_every=eos_check_every,
+        )
+
+    def generate_from(
+        self,
+        logits: jax.Array,
+        cache: KVCache,
+        max_new_tokens: int,
+        sampling: SamplingParams = SamplingParams(),
+        eos_id: int | None = None,
+        seed: int = 0,
+        on_token: Callable[[int, list[int]], None] | None = None,
+        eos_check_every: int = 8,
+    ) -> list[list[int]]:
+        """Decode from already-prefilled (logits, cache) — lets callers time
+        prefill (TTFT) and decode separately, as the reference reports them
+        (gemma_model.cpp:566-572)."""
+        B = logits.shape[0]
         # each decode step writes the incoming token's K/V at index `length`,
         # so exactly max_seq_len - prompt_len steps fit; one more would write
         # at index max_seq_len, which scatter silently drops and the step's
@@ -305,15 +369,18 @@ class Engine:
             return done.all()
 
         check_every = 1 if on_token is not None else max(1, eos_check_every)
+        t_dec = time.perf_counter()
         for i in range(budget):
-            tok, logits, cache, key = self._step(
-                self.params, logits, key, cache, sampling=sampling
-            )
+            with prof.span("decode.dispatch"):
+                tok, logits, cache, key = self._step(
+                    self.params, logits, key, cache, sampling=sampling
+                )
             device_toks.append(tok)
             if eos_id is not None and (i + 1) % check_every == 0:
                 if drain():
                     break
-        drain()
+        drain()  # np.asarray inside forces device sync -> wall time is real
+        self._record_decode_roofline(emitted, B, time.perf_counter() - t_dec)
         return out
 
     def generate_fused(
@@ -338,13 +405,19 @@ class Engine:
         block = max(1, self.ecfg.decode_block)
         chunks = []
         remaining = max_new_tokens
+        t_dec = time.perf_counter()
         while remaining > 0:
             n = min(block, remaining)
-            tb, logits, cache, key = self._block(
-                self.params, logits, key, cache, sampling=sampling, n=n
-            )
+            with prof.span(f"decode.block[n={n}]"):
+                tb, logits, cache, key = self._block(
+                    self.params, logits, key, cache, sampling=sampling, n=n
+                )
             chunks.append(tb)
             remaining -= n
         # concat on device; ONE host transfer at the end (a per-token fetch
         # pays the accelerator-tunnel round-trip latency per token)
-        return np.asarray(jnp.concatenate(chunks, axis=1))
+        toks = np.asarray(jnp.concatenate(chunks, axis=1))
+        self._record_decode_roofline(
+            max_new_tokens, len(prompts), time.perf_counter() - t_dec
+        )
+        return toks

@@ -69,6 +69,18 @@ def disable() -> None:
     _state.enabled = False
 
 
+def is_enabled() -> bool:
+    return _state.enabled
+
+
+def autoset_peaks() -> None:
+    """Set roofline peaks from the visible accelerator."""
+    from .device import device_peaks
+
+    hbm, flops = device_peaks()
+    set_peaks(hbm_gbs=hbm, flops=flops)
+
+
 def reset() -> None:
     with _state.lock:
         _state.spans.clear()

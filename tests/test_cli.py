@@ -19,7 +19,7 @@ def test_generate_greedy(gguf_path, capsys):
     ])
     assert rc == 0
     out = capsys.readouterr()
-    assert "tok/s end-to-end" in out.err
+    assert "decode" in out.err and "tok/s" in out.err
 
 
 def test_generate_stream_sampled(gguf_path, capsys):

@@ -131,3 +131,25 @@ def test_perplexity_quant_close_to_float(tmp_path):
     pf = perplexity.evaluate(fp, cfg, toks, ctx=64)
     # Q8_0 round-trip is ~0.5% weight error; ppl delta must be small
     assert abs(pq.delta(pf)) < 0.05 * pf.ppl + 0.05
+
+
+def test_profiler_wired_into_engine(model):
+    """--profile must produce a real report: spans from prefill/decode,
+    roofline records with weight-stream bytes, trace-time op counters."""
+    from gemma_tpu.runtime import Engine, EngineConfig
+
+    cfg, params, _ = model
+    profiling.reset()
+    profiling.enable()
+    try:
+        eng = Engine(cfg, params, EngineConfig(max_seq_len=32, donate_cache=False))
+        eng.generate([[1, 7, 300]], max_new_tokens=4)
+        rep = profiling.report()
+    finally:
+        profiling.disable()
+        profiling.reset()
+    assert "(profiling: no data)" not in rep
+    assert "prefill.dispatch" in rep
+    assert "decode.steps[B=1]" in rep  # roofline ledger entry
+    assert "tokens.decoded" in rep
+    assert "trace.matmul" in rep  # per-compile op-shape histogram
