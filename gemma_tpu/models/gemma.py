@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..ops.attention import attention
 from ..ops.linear import linear
+from ..ops.paged_attention import paged_decode_attention, paged_decode_supported
 from ..runtime.kv_cache import KVCache
 from ..utils.tensor_dump import record
 from .config import GemmaConfig
@@ -89,12 +90,18 @@ def decoder_layer(
         cache = cache.write_chunk(layer_idx, write_index, k, v)
     else:
         cache = cache.write_token(layer_idx, write_index, k, v)
-    kc, vc = cache.gather_layer(layer_idx)
 
-    attn = attention(
-        q, kc, vc, positions, kv_limit, cfg.attn_softcap,
-        window=cfg.layer_window(layer_idx),
-    )
+    window = cfg.layer_window(layer_idx)
+    if hasattr(cache, "page_table") and paged_decode_supported(cache, T, cfg.n_heads):
+        # paged pool read via block-table indirection — never densified
+        attn = paged_decode_attention(
+            q, cache, layer_idx, kv_limit, cfg.attn_softcap, window
+        )
+    else:
+        kc, vc = cache.gather_layer(layer_idx)
+        attn = attention(
+            q, kc, vc, positions, kv_limit, cfg.attn_softcap, window=window
+        )
     attn_out = linear(attn.reshape(B, T, cfg.q_dim), lp["attn_output"])
     if "post_attention_norm" in lp:  # Gemma-2/3 sandwich norm
         attn_out = rms_norm(attn_out, lp["post_attention_norm"], cfg.rms_eps)

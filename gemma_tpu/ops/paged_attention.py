@@ -1,0 +1,195 @@
+"""Paged decode attention: Pallas kernel reading KV pages via the block table.
+
+The file `runtime/paged_kv.py` promises: decode attention over a paged KV
+pool WITHOUT densifying it — the round-1 `gather_layer` fallback
+materialized the whole [B, maxp*ps, H, D] pool per layer per step, making
+paging strictly worse than the dense cache. Here the block table rides the
+scalar-prefetch channel, so each grid step DMAs exactly ONE physical page
+(`PrefetchScalarGridSpec` index_map indirection — the TPU idiom for vLLM-
+style paged attention; generalizes the reference's dead `kv_cell` machinery,
+/root/reference/src/gemma_model.h:75-97).
+
+Shapes:
+    q:          [B, 1, Hq, D] (query_scale applied; position = kv_limit-1)
+    k/v pages:  [P, ps, Hkv, D] (one layer's pool slice)
+    page_table: i32 [B, maxp] physical page per logical page (0 = trash)
+    kv_limit:   i32 [B] valid token count
+
+Grid is (B, Hq_kv, maxp): sequential page walk per (batch, kv-head) with an
+online-softmax accumulator in VMEM scratch. Pages past a sequence's limit
+are skipped two ways: the index_map redirects them to the sequence's page 0
+entry (consecutive identical block indices elide the DMA) and `pl.when`
+skips their compute.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NUM_LANES = 128
+MIN_G = 8  # pad query-group dim to the f32 sublane tile
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _paged_kernel(
+    pt_ref,  # scalar-prefetch: i32 [B, maxp]
+    lim_ref,  # scalar-prefetch: i32 [B]
+    q_ref,  # [1, 1, G, D]
+    k_ref,  # [1, ps, 1, D]
+    v_ref,  # [1, ps, 1, D]
+    o_ref,  # [1, 1, G, D]
+    m_scr,  # VMEM [G, NUM_LANES]
+    l_scr,  # VMEM [G, NUM_LANES]
+    acc_scr,  # VMEM [G, D]
+    *,
+    ps: int,
+    n_pages: int,
+    attn_softcap: float,
+    window: int,
+):
+    b, i = pl.program_id(0), pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    limit = lim_ref[b]
+    start = i * ps
+    live = start < limit
+    if window > 0:  # page entirely older than the query's window?
+        live &= start + ps - 1 >= limit - window
+
+    @pl.when(live)
+    def _():
+        q = q_ref[0, 0]  # [G, D]
+        k = k_ref[0, :, 0, :]  # [ps, D]
+        G = q.shape[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [G, ps]
+        if attn_softcap:
+            s = attn_softcap * jnp.tanh(s / attn_softcap)
+        col = start + jax.lax.broadcasted_iota(jnp.int32, (G, ps), 1)
+        mask = col < limit
+        if window > 0:
+            mask &= col > limit - 1 - window
+        s = jnp.where(mask, s, MASK_VALUE)
+
+        m_prev = m_scr[...][:, :1]
+        l_prev = l_scr[...][:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        p = jnp.where(mask, p, 0.0)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+        v = v_ref[0, :, 0, :]  # [ps, D]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
+    @pl.when(i == n_pages - 1)
+    def _():
+        l = l_scr[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("attn_softcap", "window", "interpret")
+)
+def _paged_call(q_bhgd, k_pages, v_pages, page_table, kv_limit,
+                attn_softcap, window, interpret):
+    B, Hkv, G, D = q_bhgd.shape
+    P, ps = k_pages.shape[0], k_pages.shape[1]
+    maxp = page_table.shape[1]
+
+    def page_map(b, h, i, pt_ref, lim_ref):
+        # dead steps re-request the sequence's LAST live page: consecutive
+        # identical block indices elide the DMA, and pl.when skips compute.
+        n_live = jnp.maximum((lim_ref[b] + ps - 1) // ps, 1)
+        idx = jnp.where(i < n_live, i, n_live - 1)
+        return (pt_ref[b, idx], 0, h, 0)
+
+    kernel = functools.partial(
+        _paged_kernel, ps=ps, n_pages=maxp,
+        attn_softcap=attn_softcap, window=window,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hkv, maxp),
+        in_specs=[
+            pl.BlockSpec((1, 1, G, D), lambda b, h, i, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, ps, 1, D), page_map),
+            pl.BlockSpec((1, ps, 1, D), page_map),
+        ],
+        out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, i, *_: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((G, NUM_LANES), jnp.float32),
+            pltpu.VMEM((G, NUM_LANES), jnp.float32),
+            pltpu.VMEM((G, D), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(page_table, kv_limit, q_bhgd, k_pages, v_pages)
+
+
+def paged_decode_supported(cache, T: int, Hq: int) -> bool:
+    """Kernel path gate: T=1 decode, bf16/f32 pages, lane-aligned head_dim."""
+    if T != 1 or cache.quantized:
+        return False
+    D = cache.k_pages.shape[-1]
+    Hkv = cache.k_pages.shape[-2]
+    on_kernel_path = (
+        jax.default_backend() == "tpu"
+        or os.environ.get("GEMMA_TPU_INTERPRET_KERNELS") == "1"
+    )
+    return on_kernel_path and D % NUM_LANES == 0 and Hq % Hkv == 0
+
+
+def paged_decode_attention(
+    q: jax.Array,  # [B, 1, Hq, D] scaled
+    cache,  # PagedKVCache
+    layer: int,
+    kv_limit: jax.Array,  # [B]
+    attn_softcap: float = 0.0,
+    window: int = 0,
+) -> jax.Array:
+    """Decode attention over the paged pool; returns [B, 1, Hq, D]."""
+    B, T, Hq, D = q.shape
+    k_pages = cache.k_pages[layer]
+    v_pages = cache.v_pages[layer]
+    Hkv = k_pages.shape[-2]
+    G = Hq // Hkv
+    Gp = max(G, MIN_G)
+    qg = q.reshape(B, Hkv, G, D)
+    if Gp != G:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
+    out = _paged_call(
+        qg, k_pages, v_pages,
+        cache.page_table.astype(jnp.int32), kv_limit.astype(jnp.int32),
+        float(attn_softcap), int(window), _interpret(),
+    )
+    return out[:, :, :G].reshape(B, 1, Hq, D).astype(q.dtype)
