@@ -119,6 +119,11 @@ class Keys:
     VALUE_LENGTH = "{arch}.attention.value_length"
     RMS_EPS = "{arch}.attention.layer_norm_rms_epsilon"
     ROPE_FREQ_BASE = "{arch}.rope.freq_base"
+    # Gemma-3: sliding-window layers rope at a different (local) base, and
+    # global layers apply linear position scaling (llama.cpp keys)
+    ROPE_FREQ_BASE_SWA = "{arch}.rope.freq_base_swa"
+    ROPE_SCALING_TYPE = "{arch}.rope.scaling.type"
+    ROPE_SCALING_FACTOR = "{arch}.rope.scaling.factor"
     # gemma-2/3 style extras
     SLIDING_WINDOW = "{arch}.attention.sliding_window"
     LOGIT_SOFTCAP = "{arch}.final_logit_softcapping"

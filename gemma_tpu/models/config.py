@@ -39,6 +39,11 @@ class GemmaConfig:
     # query scaling: attention logits are q·k * query_scale; Gemma uses
     # 1/sqrt(head_dim) (reference: gemma_model.cpp:708)
     query_scale: float | None = None
+    # Gemma-3: sliding layers rope at a separate local base (0 = use
+    # rope_base) while global layers scale positions by rope_scale
+    # (= 1/rope.scaling.factor for linear scaling; 1.0 = none)
+    rope_base_swa: float = 0.0
+    rope_scale: float = 1.0
 
     @property
     def q_dim(self) -> int:
@@ -60,6 +65,15 @@ class GemmaConfig:
             return 0
         return self.sliding_window
 
+    def layer_rope(self, layer_idx: int) -> tuple[float, float]:
+        """(freq_base, position_scale) for this layer. Gemma-3 ropes sliding
+        layers at the local base with no scaling; global layers use the
+        trained base with linear position scaling (llama.cpp:
+        `freq_base_l = is_swa ? base_swa : base`)."""
+        if self.layer_window(layer_idx) > 0:
+            return (self.rope_base_swa or self.rope_base, 1.0)
+        return (self.rope_base, self.rope_scale)
+
     @classmethod
     def from_gguf(cls, reader: GGUFReader) -> "GemmaConfig":
         arch = reader.architecture
@@ -72,6 +86,12 @@ class GemmaConfig:
         vocab = embed.shape[0] if embed is not None else len(kv(Keys.TOKENS, []))
         # interleaved local/global attention cadence by family
         swa_pattern = {"gemma2": 2, "gemma3": 6}.get(arch, 0)
+        rope_base_swa = float(kv(Keys.ROPE_FREQ_BASE_SWA, 0.0) or 0.0)
+        if arch == "gemma3" and not rope_base_swa:
+            rope_base_swa = 10000.0  # llama.cpp's gemma3 default local base
+        factor = float(kv(Keys.ROPE_SCALING_FACTOR, 0.0) or 0.0)
+        stype = kv(Keys.ROPE_SCALING_TYPE, "") or ""
+        rope_scale = 1.0 / factor if (stype == "linear" and factor) else 1.0
         return cls(
             vocab_size=int(vocab),
             d_model=d_model,
@@ -87,6 +107,8 @@ class GemmaConfig:
             swa_pattern=swa_pattern,
             attn_softcap=float(kv(Keys.ATTN_SOFTCAP, 0.0) or 0.0),
             final_softcap=float(kv(Keys.LOGIT_SOFTCAP, 0.0) or 0.0),
+            rope_base_swa=rope_base_swa,
+            rope_scale=rope_scale,
         )
 
 

@@ -46,11 +46,14 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     return (normed * w.astype(jnp.float32)).astype(x.dtype)
 
 
-def apply_rope(x: jax.Array, positions: jax.Array, base: float) -> jax.Array:
-    """NEOX rotary embedding. x: [B, T, H, D]; positions: [B, T] int32."""
+def apply_rope(
+    x: jax.Array, positions: jax.Array, base: float, pos_scale: float = 1.0
+) -> jax.Array:
+    """NEOX rotary embedding. x: [B, T, H, D]; positions: [B, T] int32.
+    `pos_scale` is linear rope scaling (Gemma-3 global layers)."""
     half = x.shape[-1] // 2
     freqs = base ** (-jnp.arange(half, dtype=jnp.float32) / half)
-    theta = positions.astype(jnp.float32)[:, :, None, None] * freqs  # [B,T,1,half]
+    theta = (positions.astype(jnp.float32) * pos_scale)[:, :, None, None] * freqs
     cos, sin = jnp.cos(theta), jnp.sin(theta)
     xf = x.astype(jnp.float32)
     x1, x2 = xf[..., :half], xf[..., half:]
@@ -81,10 +84,14 @@ def decoder_layer(
         k = linear(h, lp["attn_k"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
         v = linear(h, lp["attn_v"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
 
-    q = apply_rope(q, positions, cfg.rope_base) * jnp.asarray(
+    if "attn_q_norm" in lp:  # Gemma-3 per-head QK-norm (before RoPE)
+        q = rms_norm(q, lp["attn_q_norm"], cfg.rms_eps)
+        k = rms_norm(k, lp["attn_k_norm"], cfg.rms_eps)
+    rope_base, rope_pos_scale = cfg.layer_rope(layer_idx)
+    q = apply_rope(q, positions, rope_base, rope_pos_scale) * jnp.asarray(
         cfg.effective_query_scale, dtype=x.dtype
     )
-    k = apply_rope(k, positions, cfg.rope_base)
+    k = apply_rope(k, positions, rope_base, rope_pos_scale)
 
     if write_index.ndim == 0:
         cache = cache.write_chunk(layer_idx, write_index, k, v)

@@ -36,8 +36,10 @@ LAYER_TENSORS = (
 
 _NORM_NAMES = {"attn_norm", "ffn_norm"}
 
-# Gemma-2/3 sandwich norms, present only in those exports
-OPTIONAL_LAYER_NORMS = ("post_attention_norm", "post_ffw_norm")
+# Gemma-2/3 sandwich norms + Gemma-3 QK-norms, present only in those exports
+OPTIONAL_LAYER_NORMS = (
+    "post_attention_norm", "post_ffw_norm", "attn_q_norm", "attn_k_norm"
+)
 
 
 def _load_tensor(reader: GGUFReader, name: str, mode: str, *, is_norm: bool = False):

@@ -28,6 +28,15 @@ TINY_GEMMA2_CONFIG = GemmaConfig(
     sliding_window=16, swa_pattern=2, attn_softcap=50.0, final_softcap=30.0,
 )
 
+# Gemma-3-style toy: QK-norm, 5-local/1-global cadence, split rope bases,
+# linear rope scaling on the global layers
+TINY_GEMMA3_CONFIG = GemmaConfig(
+    vocab_size=512, d_model=64, n_layers=6, n_heads=4, n_kv_heads=2,
+    head_dim=16, d_ff=128, context_length=128,
+    sliding_window=16, swa_pattern=6,
+    rope_base=1_000_000.0, rope_base_swa=10_000.0, rope_scale=1.0 / 8.0,
+)
+
 
 def make_params(
     cfg: GemmaConfig,
@@ -168,6 +177,11 @@ def make_gguf(
     w.add_kv(f"{arch}.attention.value_length", cfg.head_dim)
     w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", cfg.rms_eps)
     w.add_kv(f"{arch}.rope.freq_base", cfg.rope_base)
+    if cfg.rope_base_swa:
+        w.add_kv(f"{arch}.rope.freq_base_swa", cfg.rope_base_swa)
+    if cfg.rope_scale != 1.0:
+        w.add_kv(f"{arch}.rope.scaling.type", "linear")
+        w.add_kv(f"{arch}.rope.scaling.factor", 1.0 / cfg.rope_scale)
 
     tokens, scores, types = default_vocab(cfg.vocab_size)
     w.add_kv(Keys.TOKENIZER_MODEL, "llama")
@@ -203,5 +217,8 @@ def make_gguf(
         if arch in ("gemma2", "gemma3"):  # sandwich norms
             norm(f"blk.{i}.post_attention_norm.weight", cfg.d_model)
             norm(f"blk.{i}.post_ffw_norm.weight", cfg.d_model)
+        if arch == "gemma3":  # per-head QK-norm over head_dim
+            norm(f"blk.{i}.attn_q_norm.weight", cfg.head_dim)
+            norm(f"blk.{i}.attn_k_norm.weight", cfg.head_dim)
     w.write()
     return path

@@ -13,12 +13,12 @@ def rms_norm(x, w, eps):
     return (x / np.sqrt(var + eps)) * w
 
 
-def rope_neox(x, positions, base):
+def rope_neox(x, positions, base, pos_scale=1.0):
     # x: [T, H, D]
     T, H, D = x.shape
     half = D // 2
     freqs = base ** (-np.arange(half) / half)
-    theta = positions[:, None, None] * freqs[None, None, :]
+    theta = (positions * pos_scale)[:, None, None] * freqs[None, None, :]
     cos, sin = np.cos(theta), np.sin(theta)
     x1, x2 = x[..., :half], x[..., half:]
     return np.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
@@ -47,8 +47,12 @@ def forward(weights, cfg, tokens):
         q = (h @ w("attn_q").T).reshape(T, cfg.n_heads, cfg.head_dim)
         k = (h @ w("attn_k").T).reshape(T, cfg.n_kv_heads, cfg.head_dim)
         v = (h @ w("attn_v").T).reshape(T, cfg.n_kv_heads, cfg.head_dim)
-        q = rope_neox(q, positions, cfg.rope_base) * cfg.effective_query_scale
-        k = rope_neox(k, positions, cfg.rope_base)
+        if has("attn_q_norm"):  # Gemma-3 per-head QK-norm, before RoPE
+            q = rms_norm(q, w("attn_q_norm"), cfg.rms_eps)
+            k = rms_norm(k, w("attn_k_norm"), cfg.rms_eps)
+        base, pos_scale = cfg.layer_rope(i) if hasattr(cfg, "layer_rope") else (cfg.rope_base, 1.0)
+        q = rope_neox(q, positions, base, pos_scale) * cfg.effective_query_scale
+        k = rope_neox(k, positions, base, pos_scale)
         group = cfg.n_heads // cfg.n_kv_heads
         mask = np.tril(np.ones((T, T), bool))
         if window > 0:  # key j visible to query t iff t-window < j <= t
