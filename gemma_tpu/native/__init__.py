@@ -135,18 +135,18 @@ def repack(raw, t: GGMLType, shape: tuple[int, int]) -> dict[str, np.ndarray] | 
     if t == GGMLType.Q4_K:
         qs = np.empty((K // 2, N), np.uint8)
         sc = np.empty((K // 32, N), np.uint16)
-        mn = np.empty((K // 32, N), np.uint16)
+        off = np.empty((K // 32, N), np.uint16)
         lib.gt_repack_q4_k(
             _ptr(buf, u8), N, K, _ptr(qs, u8),
-            _ptr(sc, ctypes.c_uint16), _ptr(mn, ctypes.c_uint16),
+            _ptr(sc, ctypes.c_uint16), _ptr(off, ctypes.c_uint16),
         )
-        return {"qs": qs, "scales": sc, "mins": mn}
+        return {"qs": qs, "scales": sc, "offs": off}
     if t == GGMLType.Q6_K:
-        ql = np.empty((K // 2, N), np.uint8)
-        qh = np.empty((K // 4, N), np.uint8)
+        qa = np.empty((K // 2, N), np.uint8)
+        qb = np.empty((K // 2, N), np.uint8)
         sc = np.empty((K // 16, N), np.uint16)
         lib.gt_repack_q6_k(
-            _ptr(buf, u8), N, K, _ptr(ql, u8), _ptr(qh, u8), _ptr(sc, ctypes.c_uint16)
+            _ptr(buf, u8), N, K, _ptr(qa, u8), _ptr(qb, u8), _ptr(sc, ctypes.c_uint16)
         )
-        return {"ql": ql, "qh": qh, "scales": sc}
+        return {"qa": qa, "qb": qb, "scales": sc}
     return None

@@ -12,27 +12,37 @@ fused Pallas matmul (ops/quant_matmul.py):
   then (8k-row, 128-col)-aligned, K-stepping never needs lane-dim dynamic
   slices, and the kernel's dot is the MXU-native ``x @ W`` (no transposed
   contraction);
-* per-group metadata is flattened to one effective f16 scale (and min) per
-  32-group (per-16 for q6_k): exact for q4_0/q8_0 (ggml stores d as f16);
-  for K-quants the f16 rounding of d*sc products is <= 2^-11 relative —
-  three orders below the 4-bit quantization noise itself.
+* 4-bit payloads are stored as **K-paired signed nibbles**: byte[k', n]
+  packs elements 2k' (low nibble) and 2k'+1 (high), two's-complement, with
+  the ggml zero-point already folded (q4_0/q4_k store q-8). In-kernel,
+  ``pltpu.bitcast(u8[bk/2, bn], int4)`` reinterprets the tile as int4
+  [bk, bn] in natural K-order — dequant is ONE convert + ONE scale
+  multiply per weight, no nibble shifts, no plane reordering (the round-1
+  f32 extraction chain cost ~5 VPU ops/weight and capped decode at 37 % of
+  the HBM roofline);
+* per-group metadata is flattened to one effective f16 scale per 32-group
+  (per-16 for q6_k): exact for q4_0/q8_0 (ggml stores d as f16); for
+  K-quants the f16 rounding of d*sc products is <= 2^-11 relative — three
+  orders below the 4-bit quantization noise itself. q4_k additionally
+  stores the per-group affine offset ``offs = 8*sc - min`` (rank-reduced in
+  the kernel to one xsum dot).
 
 Device formats (logical tensor is [N, K] = [out, in], ggml row-major):
 
 ====== ============================================================ ======
 fmt    arrays                                                        bpw
 ====== ============================================================ ======
-q4_0   qs u8 [K/2, N], scales f16 [K/32, N]                          4.5
+q4_0   qs u8 [K/2, N] (signed q-8 pairs), scales f16 [K/32, N]       4.5
 q8_0   qs i8 [K, N],   scales f16 [K/32, N]                          8.5
-q4_k   qs u8 [K/2, N], scales f16 [K/32, N], mins f16 [K/32, N]      5.0
-q6_k   ql u8 [K/2, N], qh u8 [K/4, N], scales f16 [K/16, N]          7.0
+q4_k   qs u8 [K/2, N] (signed q-8 pairs), scales f16 [K/32, N],
+       offs f16 [K/32, N]                                            5.0
+q6_k   qa u8 [K/2, N] (signed hi-3 pairs: a = (q-32)>>3),
+       qb u8 [K/2, N] (low-3 pairs: b = q-32-8a, in [0,7]),
+       scales f16 [K/16, N]; w = (8a+b)*sc                           9.125
 ====== ============================================================ ======
 
-Nibble packing (4-bit formats): within each 32-element K-group, packed row
-``j`` (j in 0..15) holds element ``32g+j`` in its low nibble and element
-``32g+16+j`` in its high nibble — ggml's Q4_0 intra-block order, so
-importing ggml payloads never re-shuffles nibbles, and unpacking is two
-plane-wise ops plus one coarse concat along the sublane axis.
+(q6_k trades +29 % bytes for the int4 fast path — it decorates a small
+minority of tensors in K-quant exports.)
 """
 from __future__ import annotations
 
@@ -95,12 +105,21 @@ def _t(x: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(x.T)
 
 
+def _pack_signed_pairs(vals: np.ndarray) -> np.ndarray:
+    """[K, N] int values in [-8, 7] -> u8 [K/2, N] nibble pairs (element 2k'
+    in the low nibble). ``pltpu.bitcast(u8, int4)`` restores K-order."""
+    v = vals.astype(np.int8) & 0xF
+    return (v[0::2] | (v[1::2] << 4)).astype(np.uint8)
+
+
 def pack_q4_0(raw, shape) -> dict[str, np.ndarray]:
     rows, cols = shape  # (N, K)
     b = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(rows, cols // 32, 18)
     scales = b[:, :, :2].copy().view("<f2").reshape(rows, cols // 32)
-    qs = b[:, :, 2:].reshape(rows, cols // 2)
-    return {"qs": _t(qs), "scales": store_f16(_t(scales))}
+    nib = b[:, :, 2:]  # ggml order: element j<16 = lo nibble of byte j, else hi
+    q = np.concatenate([nib & 0x0F, nib >> 4], axis=2).reshape(rows, cols)
+    q = q.astype(np.int8) - 8  # zero-point folded into the signed payload
+    return {"qs": _pack_signed_pairs(_t(q)), "scales": store_f16(_t(scales))}
 
 
 def pack_q8_0(raw, shape) -> dict[str, np.ndarray]:
@@ -120,20 +139,24 @@ def pack_q4_k(raw, shape) -> dict[str, np.ndarray]:
     sc6, mn6 = numpy_ref._unpack_scale_min_k4(b[:, :, 4:16].reshape(-1, 12))
     sc6 = sc6.reshape(rows, nsb, 8).astype(np.float32)
     mn6 = mn6.reshape(rows, nsb, 8).astype(np.float32)
-    eff_sc = (d[:, :, None] * sc6).reshape(rows, cols // 32)
-    eff_mn = (dmin[:, :, None] * mn6).reshape(rows, cols // 32)
+    # effective per-32 scale (f16, matching what the kernel multiplies by)
+    # and affine offset: w = sc*q - mn = sc*(q-8) + (8*sc - mn)
+    sc_f16 = (d[:, :, None] * sc6).astype(np.float16)
+    mn_f16 = (dmin[:, :, None] * mn6).astype(np.float16)
+    offs = (
+        8.0 * sc_f16.astype(np.float32) - mn_f16.astype(np.float32)
+    ).reshape(rows, cols // 32)
+    eff_sc = sc_f16.reshape(rows, cols // 32).astype(np.float32)
     # ggml Q4_K nibble order: qs chunk c (32B) holds sub-block 2c in lo
     # nibbles (elements 64c..64c+31) and sub-block 2c+1 in hi nibbles.
-    # Re-group to the uniform per-32 (j, j+16) convention:
     qs = b[:, :, 16:144].reshape(rows, nsb, 4, 32)
-    lo = qs & 0x0F  # sub-block 2c, elements 0..31 in order
-    hi = qs >> 4    # sub-block 2c+1
-    subs = np.stack([lo, hi], axis=3).reshape(rows, nsb * 8, 32)  # [r, n32, 32]
-    packed = (subs[:, :, :16] | (subs[:, :, 16:] << 4)).reshape(rows, cols // 2)
+    lo = qs & 0x0F
+    hi = qs >> 4
+    q = np.stack([lo, hi], axis=3).reshape(rows, cols).astype(np.int8) - 8
     return {
-        "qs": _t(packed),
+        "qs": _pack_signed_pairs(_t(q)),
         "scales": store_f16(_t(eff_sc)),
-        "mins": store_f16(_t(eff_mn)),
+        "offs": store_f16(_t(offs)),
     }
 
 
@@ -156,23 +179,12 @@ def pack_q6_k(raw, shape) -> dict[str, np.ndarray]:
         q[:, :, base + 32 : base + 64] = (lq[:, :, 32:] & 0x0F) | (((hq >> 2) & 3) << 4)
         q[:, :, base + 64 : base + 96] = (lq[:, :, :32] >> 4) | (((hq >> 4) & 3) << 4)
         q[:, :, base + 96 : base + 128] = (lq[:, :, 32:] >> 4) | (((hq >> 6) & 3) << 4)
-    q = q.reshape(rows, cols)
-    # Split into a nibble plane with the uniform (j, j+16) per-32 packing and
-    # a 2-bit plane: byte j of a 32-group holds the top bits of elements
-    # j, j+8, j+16, j+24 at shifts 0/2/4/6.
-    g = q.reshape(rows, cols // 32, 32)
-    lo4 = g & 0x0F
-    hi2 = g >> 4
-    nib = (lo4[:, :, :16] | (lo4[:, :, 16:] << 4)).reshape(rows, cols // 2)
-    hq = (
-        hi2[:, :, 0:8]
-        | (hi2[:, :, 8:16] << 2)
-        | (hi2[:, :, 16:24] << 4)
-        | (hi2[:, :, 24:32] << 6)
-    ).reshape(rows, cols // 4)
+    qp = q.reshape(rows, cols).astype(np.int16) - 32  # [-32, 31]
+    a = qp >> 3  # [-4, 3] — fits a signed nibble
+    bb = qp - (a << 3)  # [0, 7]
     return {
-        "ql": _t(nib),
-        "qh": _t(hq),
+        "qa": _pack_signed_pairs(_t(a)),
+        "qb": _pack_signed_pairs(_t(bb)),
         "scales": store_f16(_t(eff_sc)),
     }
 
@@ -216,19 +228,15 @@ def quantize_array(x: np.ndarray, fmt: str) -> QTensor:
 # Device-side dequantization (XLA; Pallas kernels fuse this into the matmul)
 # ---------------------------------------------------------------------------
 
-def _unpack_nibble_planes(qs: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """[K/2, N] packed -> (lo, hi) planes, each [K/2, N] uint8.
-
-    Plane row c (= 16g+j) holds element 32g+j (lo) / 32g+16+j (hi)."""
-    return qs & 0x0F, qs >> 4
-
-
-def _interleave_planes(lo: jax.Array, hi: jax.Array) -> jax.Array:
-    """(lo, hi) [K/2, N] -> [K, N] in natural element order."""
-    Kh, N = lo.shape
-    lo3 = lo.reshape(Kh // 16, 16, N)
-    hi3 = hi.reshape(Kh // 16, 16, N)
-    return jnp.concatenate([lo3, hi3], axis=1).reshape(2 * Kh, N)
+def _unpack_signed_pairs(qs: jax.Array) -> jax.Array:
+    """u8 [K/2, N] nibble pairs -> int32 [K, N] signed values (XLA path;
+    the Pallas kernels bitcast to int4 instead)."""
+    lo = (qs & 0x0F).astype(jnp.int32)
+    hi = (qs >> 4).astype(jnp.int32)
+    lo = lo - 16 * (lo >= 8)
+    hi = hi - 16 * (hi >= 8)
+    Kh, N = qs.shape
+    return jnp.stack([lo, hi], axis=1).reshape(2 * Kh, N)
 
 
 def dequant_t(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
@@ -240,34 +248,18 @@ def dequant_t(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
         sc = f16_bits_to_f32(a["scales"])
         x = (q * sc[:, None, :]).reshape(K, N)
     elif qt.fmt in ("q4_0", "q4_k"):
-        lo, hi = _unpack_nibble_planes(a["qs"])
-        sc16 = jnp.repeat(f16_bits_to_f32(a["scales"]), 16, axis=0)  # [K/2, N]
-        if qt.fmt == "q4_0":
-            lo_v = (lo.astype(jnp.int8) - 8).astype(jnp.float32) * sc16
-            hi_v = (hi.astype(jnp.int8) - 8).astype(jnp.float32) * sc16
-        else:
-            mn16 = jnp.repeat(f16_bits_to_f32(a["mins"]), 16, axis=0)
-            lo_v = lo.astype(jnp.float32) * sc16 - mn16
-            hi_v = hi.astype(jnp.float32) * sc16 - mn16
-        x = _interleave_planes(lo_v, hi_v)
+        q = _unpack_signed_pairs(a["qs"]).astype(jnp.float32)
+        sc = f16_bits_to_f32(a["scales"])  # [K/32, N]
+        x = (q.reshape(K // 32, 32, N) * sc[:, None, :]).reshape(K, N)
+        if qt.fmt == "q4_k":
+            off = f16_bits_to_f32(a["offs"])
+            x = (x.reshape(K // 32, 32, N) + off[:, None, :]).reshape(K, N)
     elif qt.fmt == "q6_k":
-        lo, hi = _unpack_nibble_planes(a["ql"])
-        qh = a["qh"]
-        h = [(qh >> s) & 3 for s in (0, 2, 4, 6)]  # rows 8g+j -> elems 32g+j(+8/16/24)
-        n32 = K // 32
-        def merge8(a8, b8):
-            return jnp.concatenate(
-                [a8.reshape(n32, 8, N), b8.reshape(n32, 8, N)], axis=1
-            ).reshape(K // 2, N)
-        hi_for_lo = merge8(h[0], h[1])  # rows 16g+jj -> elems 32g+jj
-        hi_for_hi = merge8(h[2], h[3])
-        lo_q = ((lo | (hi_for_lo << 4)).astype(jnp.int8) - 32).astype(jnp.float32)
-        hi_q = ((hi | (hi_for_hi << 4)).astype(jnp.int8) - 32).astype(jnp.float32)
-        # per-16 scales: group g lo-half uses sc[2g], hi-half sc[2g+1]
-        sc = f16_bits_to_f32(a["scales"]).reshape(n32, 2, N)
-        sc_lo = jnp.repeat(sc[:, 0, :].reshape(n32, 1, N), 16, axis=1).reshape(K // 2, N)
-        sc_hi = jnp.repeat(sc[:, 1, :].reshape(n32, 1, N), 16, axis=1).reshape(K // 2, N)
-        x = _interleave_planes(lo_q * sc_lo, hi_q * sc_hi)
+        av = _unpack_signed_pairs(a["qa"]).astype(jnp.float32)
+        bv = _unpack_signed_pairs(a["qb"]).astype(jnp.float32)
+        q = av * 8.0 + bv
+        sc = f16_bits_to_f32(a["scales"])  # [K/16, N]
+        x = (q.reshape(K // 16, 16, N) * sc[:, None, :]).reshape(K, N)
     else:
         raise NotImplementedError(qt.fmt)
     return x.astype(dtype)

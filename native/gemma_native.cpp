@@ -278,10 +278,17 @@ int gt_dequant(int ggml_type, const uint8_t* raw, int64_t rows, int64_t cols,
 }
 
 // ---------------------------------------------------------------------------
-// Repack into the K-major device layout of quant/qtensor.py.
+// Repack into the K-major device layout of quant/qtensor.py (layout v2).
 // Logical tensor [N=rows, K=cols]; outputs are [K-granule, N] row-major,
-// i.e. out[kg * N + n].
+// i.e. out[kg * N + n]. 4-bit payloads are K-paired signed nibbles:
+// byte[k', n] = (v[2k'] & 0xF) | (v[2k'+1] << 4), values pre-biased
+// (q4_0/q4_k store q-8; q6_k stores a = (q-32)>>3 and b = q-32-8a), so the
+// Pallas kernel's pltpu.bitcast(u8, int4) restores natural K-order.
 // ---------------------------------------------------------------------------
+
+inline uint8_t pack_pair(int v0, int v1) {
+  return (uint8_t)((v0 & 0x0F) | ((v1 & 0x0F) << 4));
+}
 
 int gt_repack_q4_0(const uint8_t* raw, int64_t N, int64_t K, uint8_t* qs,
                    uint16_t* sc) {
@@ -292,7 +299,14 @@ int gt_repack_q4_0(const uint8_t* raw, int64_t N, int64_t K, uint8_t* qs,
       for (int64_t g = 0; g < nb; ++g) {
         const uint8_t* b = row + g * 18;
         sc[g * N + n] = rd_f16(b);
-        for (int j = 0; j < 16; ++j) qs[(g * 16 + j) * N + n] = b[2 + j];
+        // ggml order: element j<16 = lo nibble of byte j, else hi of j-16
+        int e[32];
+        for (int j = 0; j < 16; ++j) {
+          e[j] = (b[2 + j] & 0x0F) - 8;
+          e[16 + j] = (b[2 + j] >> 4) - 8;
+        }
+        for (int j = 0; j < 16; ++j)
+          qs[(g * 16 + j) * N + n] = pack_pair(e[2 * j], e[2 * j + 1]);
       }
     }
   });
@@ -317,7 +331,7 @@ int gt_repack_q8_0(const uint8_t* raw, int64_t N, int64_t K, int8_t* qs,
 }
 
 int gt_repack_q4_k(const uint8_t* raw, int64_t N, int64_t K, uint8_t* qs,
-                   uint16_t* sc_out, uint16_t* mn_out) {
+                   uint16_t* sc_out, uint16_t* off_out) {
   int64_t nsb = K / 256;
   parallel_rows(N, [&](int64_t lo, int64_t hi) {
     for (int64_t n = lo; n < hi; ++n) {
@@ -330,21 +344,25 @@ int gt_repack_q4_k(const uint8_t* raw, int64_t N, int64_t K, uint8_t* qs,
         scale_min_k4(b + 4, sc6, mn6);
         for (int g = 0; g < 8; ++g) {
           int64_t gg = s * 8 + g;  // per-32 group index
-          sc_out[gg * N + n] = f32_to_f16(d * (float)sc6[g]);
-          mn_out[gg * N + n] = f32_to_f16(dmin * (float)mn6[g]);
+          uint16_t sch = f32_to_f16(d * (float)sc6[g]);
+          uint16_t mnh = f32_to_f16(dmin * (float)mn6[g]);
+          sc_out[gg * N + n] = sch;
+          // affine offset from the ROUNDED scale/min, like the kernel sees
+          off_out[gg * N + n] =
+              f32_to_f16(8.0f * f16_to_f32(sch) - f16_to_f32(mnh));
         }
-        // chunk c: lo nibbles = sub-block 2c, hi = 2c+1; re-pack each to
-        // the uniform per-32 (j, j+16) convention (qtensor.pack_q4_k)
+        // chunk c (32B): elements 64c+i = ch[i]&0xF (i<32), 64c+32+i = ch[i]>>4
         const uint8_t* ch0 = b + 16;
         for (int c = 0; c < 4; ++c) {
           const uint8_t* ch = ch0 + c * 32;
-          int64_t glo = s * 8 + 2 * c, ghi = glo + 1;
-          for (int j = 0; j < 16; ++j) {
-            qs[(glo * 16 + j) * N + n] =
-                (uint8_t)((ch[j] & 0x0F) | ((ch[j + 16] & 0x0F) << 4));
-            qs[(ghi * 16 + j) * N + n] =
-                (uint8_t)((ch[j] >> 4) | ((ch[j + 16] >> 4) << 4));
+          int e[64];
+          for (int i = 0; i < 32; ++i) {
+            e[i] = (ch[i] & 0x0F) - 8;
+            e[32 + i] = (ch[i] >> 4) - 8;
           }
+          for (int j = 0; j < 32; ++j)
+            qs[((int64_t)(s * 128 + c * 32 + j)) * N + n] =
+                pack_pair(e[2 * j], e[2 * j + 1]);
         }
       }
     }
@@ -352,8 +370,8 @@ int gt_repack_q4_k(const uint8_t* raw, int64_t N, int64_t K, uint8_t* qs,
   return 0;
 }
 
-int gt_repack_q6_k(const uint8_t* raw, int64_t N, int64_t K, uint8_t* ql_out,
-                   uint8_t* qh_out, uint16_t* sc_out) {
+int gt_repack_q6_k(const uint8_t* raw, int64_t N, int64_t K, uint8_t* qa_out,
+                   uint8_t* qb_out, uint16_t* sc_out) {
   int64_t nsb = K / 256;
   parallel_rows(N, [&](int64_t lo, int64_t hi) {
     uint8_t q[256];
@@ -366,16 +384,12 @@ int gt_repack_q6_k(const uint8_t* raw, int64_t N, int64_t K, uint8_t* ql_out,
         for (int t = 0; t < 16; ++t)
           sc_out[(s * 16 + t) * N + n] = f32_to_f16(d * (float)sc8[t]);
         q6k_values(b, b + 128, q);
-        for (int g = 0; g < 8; ++g) {  // per-32 groups within superblock
-          const uint8_t* e = q + g * 32;
-          int64_t g32 = s * 8 + g;
-          for (int j = 0; j < 16; ++j)
-            ql_out[(g32 * 16 + j) * N + n] =
-                (uint8_t)((e[j] & 0x0F) | ((e[j + 16] & 0x0F) << 4));
-          for (int j = 0; j < 8; ++j)
-            qh_out[(g32 * 8 + j) * N + n] =
-                (uint8_t)((e[j] >> 4) | ((e[j + 8] >> 4) << 2) |
-                          ((e[j + 16] >> 4) << 4) | ((e[j + 24] >> 4) << 6));
+        for (int j = 0; j < 128; ++j) {  // K-pairs within the superblock
+          int q0 = (int)q[2 * j] - 32, q1 = (int)q[2 * j + 1] - 32;
+          int a0 = q0 >> 3, a1 = q1 >> 3;  // arithmetic: floor division by 8
+          int64_t idx = (s * 128 + j) * N + n;
+          qa_out[idx] = pack_pair(a0, a1);
+          qb_out[idx] = pack_pair(q0 - 8 * a0, q1 - 8 * a1);
         }
       }
     }
