@@ -70,7 +70,16 @@ def decoder_layer(
     layer_idx: int,
     write_index: jax.Array,  # scalar (chunk start) or [B] (per-seq token slot)
     kv_limit: jax.Array,  # [B] valid cache slots after this write
+    tp_axis: str | None = None,  # shard_map TP: psum partial projections
 ) -> tuple[jax.Array, KVCache]:
+    """One decoder block. When `tp_axis` is set the caller runs this inside
+    shard_map with Megatron-sharded weights (q/k/v & gate/up row-sharded,
+    attn_output & ffn_down col-sharded): cfg must describe the LOCAL
+    geometry (n_heads/d_ff divided by the axis size) and the two output
+    projections produce partial sums that are psum'd here explicitly —
+    the hand-written analogue of the collectives GSPMD inserts, keeping
+    the Pallas kernels on shard-local weights (no all-gather of weights).
+    """
     B, T, _ = x.shape
     h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
     if "attn_qkv" in lp:  # fused projection (params.py _maybe_fuse)
@@ -110,6 +119,8 @@ def decoder_layer(
             q, kc, vc, positions, kv_limit, cfg.attn_softcap, window=window
         )
     attn_out = linear(attn.reshape(B, T, cfg.q_dim), lp["attn_output"])
+    if tp_axis is not None:  # col-sharded attn_output -> partial sums
+        attn_out = jax.lax.psum(attn_out, tp_axis)
     if "post_attention_norm" in lp:  # Gemma-2/3 sandwich norm
         attn_out = rms_norm(attn_out, lp["post_attention_norm"], cfg.rms_eps)
     x = x + attn_out
@@ -124,11 +135,38 @@ def decoder_layer(
         gate = jax.nn.gelu(linear(h2, lp["ffn_gate"]).astype(jnp.float32), approximate=True)
         up = linear(h2, lp["ffn_up"]).astype(jnp.float32)
     ff = linear((gate * up).astype(x.dtype), lp["ffn_down"])
+    if tp_axis is not None:  # col-sharded ffn_down -> partial sums
+        ff = jax.lax.psum(ff, tp_axis)
     if "post_ffw_norm" in lp:  # Gemma-2/3 sandwich norm
         ff = rms_norm(ff, lp["post_ffw_norm"], cfg.rms_eps)
     x = x + ff
     record(f"blk.{layer_idx}.ffn_out", x)
     return x, cache
+
+
+def _embed_lookup(embed, tokens: jax.Array, tp_axis: str | None) -> jax.Array:
+    """Token embedding gather. With `tp_axis`, the vocab rows are sharded
+    over the axis: each shard gathers the ids it owns (others contribute
+    zeros) and one psum assembles the full embedding."""
+    n_local = embed.shape[0]  # QTensor.shape is shard-local under shard_map
+    if tp_axis is not None:
+        offset = jax.lax.axis_index(tp_axis) * n_local
+        local = tokens - offset
+        valid = (local >= 0) & (local < n_local)
+        local = jnp.clip(local, 0, n_local - 1)
+    else:
+        local = tokens
+
+    if hasattr(embed, "fmt"):  # quantized: gather rows, dequant only those
+        from ..quant.qtensor import gather_dequant
+
+        x = gather_dequant(embed, local, jnp.bfloat16)
+    else:
+        x = jnp.take(embed, local, axis=0).astype(jnp.bfloat16)
+    if tp_axis is not None:
+        x = jnp.where(valid[..., None], x, 0)
+        x = jax.lax.psum(x, tp_axis)
+    return x
 
 
 def forward(
@@ -139,20 +177,19 @@ def forward(
     cache: KVCache,
     write_index: jax.Array,  # scalar chunk start (prefill) or [B] slots (decode)
     kv_limit: jax.Array,  # [B] valid lengths after write
+    tp_axis: str | None = None,  # see decoder_layer; cfg must be local
 ) -> tuple[jax.Array, KVCache]:
-    """Full forward. Returns (logits [B, T, vocab] f32, updated cache)."""
-    embed = params["embed"]
-    if hasattr(embed, "fmt"):  # quantized: gather rows, dequant only those
-        from ..quant.qtensor import gather_dequant
-
-        x = gather_dequant(embed, tokens, jnp.bfloat16)
-    else:
-        x = jnp.take(embed, tokens, axis=0).astype(jnp.bfloat16)
+    """Full forward. Returns (logits [B, T, vocab] f32, updated cache).
+    With `tp_axis`, the vocab dim of the returned logits is the LOCAL shard
+    (callers all_gather or fold it into sampling)."""
+    x = _embed_lookup(params["embed"], tokens, tp_axis)
     x = (x.astype(jnp.float32) * (cfg.d_model**0.5)).astype(jnp.bfloat16)
     record("inp_embd", x)
 
     for i, lp in enumerate(params["layers"]):
-        x, cache = decoder_layer(lp, cfg, x, positions, cache, i, write_index, kv_limit)
+        x, cache = decoder_layer(
+            lp, cfg, x, positions, cache, i, write_index, kv_limit, tp_axis
+        )
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     record("result_norm", x)

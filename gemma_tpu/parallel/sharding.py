@@ -98,7 +98,7 @@ def _qtensor_sharding(qt: QTensor, spec: P, mesh: Mesh) -> QTensor:
             row_axis if row_axis and ndim % tp == 0 else None,
         )
         out[name] = jax.device_put(arr, NamedSharding(mesh, sub))
-    return QTensor(qt.fmt, qt.shape, out)
+    return QTensor(qt.fmt, out)
 
 
 def shard_params(params: dict[str, Any], mesh: Mesh) -> dict[str, Any]:

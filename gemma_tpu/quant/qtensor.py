@@ -71,23 +71,35 @@ def f16_bits_to_f32(u16: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(u16, jnp.float16).astype(jnp.float32)
 
 
+# payload array + K-rows-per-payload-row, per format (shape derivation)
+_PAYLOAD = {"q4_0": ("qs", 2), "q8_0": ("qs", 1), "q4_k": ("qs", 2), "q6_k": ("qa", 2)}
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class QTensor:
     """A logical [N, K] = [out, in] quantized matrix in device layout."""
 
     fmt: str  # static: 'q4_0' | 'q8_0' | 'q4_k' | 'q6_k'
-    shape: tuple[int, ...]  # static logical shape (N, K)
     arrays: dict[str, Any]  # device arrays, all [K-granule, N]
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        """Logical (N, K), derived from the payload array so it stays
+        correct for shard-local views inside shard_map (static aux data
+        would go stale when the leaves are sliced)."""
+        key, mult = _PAYLOAD[self.fmt]
+        a = self.arrays[key]
+        return (int(a.shape[1]), int(a.shape[0]) * mult)
 
     def tree_flatten(self):
         keys = tuple(sorted(self.arrays))
-        return tuple(self.arrays[k] for k in keys), (self.fmt, self.shape, keys)
+        return tuple(self.arrays[k] for k in keys), (self.fmt, keys)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        fmt, shape, keys = aux
-        return cls(fmt, shape, dict(zip(keys, children)))
+        fmt, keys = aux
+        return cls(fmt, dict(zip(keys, children)))
 
     @property
     def dtype(self):  # logical dtype after dequant
@@ -214,7 +226,7 @@ def from_ggml(raw, ggml_type: GGMLType, shape: tuple[int, int]) -> QTensor:
     arrays = native.repack(raw, ggml_type, shape)
     if arrays is None:
         arrays = _PACKERS[fmt][1](raw, shape)
-    return QTensor(fmt, tuple(shape), arrays)
+    return QTensor(fmt, arrays)
 
 
 def quantize_array(x: np.ndarray, fmt: str) -> QTensor:
@@ -284,7 +296,7 @@ def concat_rows(qts: list["QTensor"]) -> "QTensor":
     arrays = {
         k: xp.concatenate([q.arrays[k] for q in qts], axis=1) for k in qts[0].arrays
     }
-    return QTensor(fmt, (sum(q.shape[0] for q in qts), K), arrays)
+    return QTensor(fmt, arrays)
 
 
 def gather_dequant(qt: QTensor, indices: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
@@ -295,5 +307,5 @@ def gather_dequant(qt: QTensor, indices: jax.Array, dtype=jnp.bfloat16) -> jax.A
     (N) axis of the device arrays."""
     flat = indices.reshape(-1)
     arrays = {k: jnp.take(a, flat, axis=1) for k, a in qt.arrays.items()}
-    sub = QTensor(qt.fmt, (int(flat.shape[0]), qt.shape[1]), arrays)
+    sub = QTensor(qt.fmt, arrays)
     return dequant(sub, dtype).reshape(*indices.shape, qt.shape[1])

@@ -83,17 +83,17 @@ def make_params(
             arrays = {
                 "qs": payload((cols // 2, rows), np.uint8),
                 "scales": scales((cols // 32, rows)),
-                "mins": scales((cols // 32, rows)),
+                "offs": scales((cols // 32, rows)),
             }
         elif fmt == "q6_k":
             arrays = {
-                "ql": payload((cols // 2, rows), np.uint8),
-                "qh": payload((cols // 4, rows), np.uint8),
+                "qa": payload((cols // 2, rows), np.uint8),
+                "qb": payload((cols // 2, rows), np.uint8),
                 "scales": scales((cols // 16, rows)),
             }
         else:
             raise ValueError(fmt)
-        return QTensor(fmt, (rows, cols), arrays)
+        return QTensor(fmt, arrays)
 
     def norm(d):
         return np.ones(d, np.float32)
