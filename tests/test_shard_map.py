@@ -1,0 +1,89 @@
+"""Explicit-collectives TP (shard_map) vs the single-device engine, and
+Pallas quant_matmul composing with shard-local weights (no all-gather)."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from gemma_tpu.gguf import GGMLType, GGUFReader
+from gemma_tpu.models import load_params
+from gemma_tpu.parallel import make_mesh
+from gemma_tpu.parallel.shard_decode import TPEngine, local_config
+from gemma_tpu.runtime import Engine, EngineConfig
+from gemma_tpu.testing import TINY_CONFIG, make_gguf
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("sm") / "m.gguf"
+    make_gguf(path, TINY_CONFIG, weight_type=GGMLType.F32, seed=3)
+    return load_params(GGUFReader(path), mode="dequant")
+
+
+@pytest.mark.parametrize("n_data,n_model", [(1, 4), (1, 2), (2, 2)])
+def test_tp_engine_matches_single_device(model, n_data, n_model):
+    """Greedy decode through shard_map TP must reproduce the single-device
+    engine token-for-token. Covers: tp=4 (kv heads replicated: 2 % 4 != 0),
+    tp=2 (kv heads sharded), and a (2, 2) mesh with batch over data."""
+    cfg, params = model
+    mesh = make_mesh(n_data, n_model, devices=jax.devices()[: n_data * n_model])
+    batch = max(2, n_data) if n_data > 1 else 1
+    prompts = [[1, 7, 300, 42][: 3 + i] for i in range(batch)]
+
+    ref_eng = Engine(cfg, params, EngineConfig(max_seq_len=32, max_batch=batch, donate_cache=False))
+    ref = [ref_eng.generate([p], max_new_tokens=5)[0] for p in prompts]
+
+    tp_eng = TPEngine(cfg, params, mesh, max_seq_len=32, max_batch=batch)
+    got = tp_eng.generate_greedy(prompts, max_new_tokens=5)
+    for i in range(batch):
+        assert list(got[i]) == ref[i], f"seq {i}: {list(got[i])} != {ref[i]}"
+
+
+def test_local_config_geometry():
+    lc = local_config(TINY_CONFIG, 2)
+    assert lc.n_heads == 2 and lc.n_kv_heads == 1 and lc.d_ff == 64
+    assert lc.vocab_size == 256
+    lc4 = local_config(TINY_CONFIG, 4)
+    # tp=4 > 2 kv heads: each shard owns the ONE kv head its q head uses
+    assert lc4.n_heads == 1 and lc4.n_kv_heads == 1
+
+
+def test_quant_matmul_composes_with_shard_map(rng):
+    """The Pallas kernel must run on the shard-LOCAL QTensor under
+    shard_map — each shard sees N/tp out-features (no full-weight
+    all-gather), and the stitched result matches the dense product."""
+    os.environ["GEMMA_TPU_INTERPRET_KERNELS"] = "1"
+    from gemma_tpu.ops.quant_matmul import quant_matmul, supports
+    from gemma_tpu.quant.qtensor import QTensor, dequant, quantize_array
+
+    N, K, M = 1024, 256, 8
+    mesh = make_mesh(1, 8)
+    w = rng.normal(size=(N, K)).astype(np.float32) * 0.1
+    qt = quantize_array(w, "q4_0")
+    row_spec = P(None, "model")  # arrays are [K-granule, N]: N = dim 1
+    qt_dev = QTensor(
+        qt.fmt,
+        {k: jax.device_put(a, NamedSharding(mesh, row_spec)) for k, a in qt.arrays.items()},
+    )
+    qt_specs = QTensor(qt.fmt, {k: row_spec for k in qt.arrays})
+    x = jnp.asarray(rng.normal(size=(M, K)) * 0.3, jnp.bfloat16)
+
+    def local_fn(x, qtl):
+        assert qtl.shape == (N // 8, K)  # trace-time proof: shard-local view
+        assert supports(x.shape, qtl)  # Pallas path, not the XLA fallback
+        return quant_matmul(x, qtl)
+
+    fn = jax.jit(
+        jax.shard_map(
+            local_fn, mesh=mesh, in_specs=(P(), qt_specs),
+            out_specs=P(None, "model"), check_vma=False,
+        )
+    )
+    got = np.asarray(fn(x, qt_dev))
+    ref = np.asarray(x, np.float32) @ np.asarray(dequant(qt, np.float32)).T
+    np.testing.assert_allclose(got, ref, atol=2e-2 * np.abs(ref).max(), rtol=2e-2)
