@@ -44,6 +44,15 @@ class GemmaConfig:
     # (= 1/rope.scaling.factor for linear scaling; 1.0 = none)
     rope_base_swa: float = 0.0
     rope_scale: float = 1.0
+    # activation dtype: bf16 for serving; f32 for evaluation parity with
+    # ggml's f32 activations (the Δppl gate, tools/ppl_gate.py)
+    activation_dtype: str = "bfloat16"
+
+    @property
+    def act_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.dtype(self.activation_dtype)
 
     @property
     def q_dim(self) -> int:

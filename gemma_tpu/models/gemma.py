@@ -144,7 +144,8 @@ def decoder_layer(
     return x, cache
 
 
-def _embed_lookup(embed, tokens: jax.Array, tp_axis: str | None) -> jax.Array:
+def _embed_lookup(embed, tokens: jax.Array, tp_axis: str | None,
+                  dtype=jnp.bfloat16) -> jax.Array:
     """Token embedding gather. With `tp_axis`, the vocab rows are sharded
     over the axis: each shard gathers the ids it owns (others contribute
     zeros) and one psum assembles the full embedding."""
@@ -160,9 +161,9 @@ def _embed_lookup(embed, tokens: jax.Array, tp_axis: str | None) -> jax.Array:
     if hasattr(embed, "fmt"):  # quantized: gather rows, dequant only those
         from ..quant.qtensor import gather_dequant
 
-        x = gather_dequant(embed, local, jnp.bfloat16)
+        x = gather_dequant(embed, local, dtype)
     else:
-        x = jnp.take(embed, local, axis=0).astype(jnp.bfloat16)
+        x = jnp.take(embed, local, axis=0).astype(dtype)
     if tp_axis is not None:
         x = jnp.where(valid[..., None], x, 0)
         x = jax.lax.psum(x, tp_axis)
@@ -182,8 +183,8 @@ def forward(
     """Full forward. Returns (logits [B, T, vocab] f32, updated cache).
     With `tp_axis`, the vocab dim of the returned logits is the LOCAL shard
     (callers all_gather or fold it into sampling)."""
-    x = _embed_lookup(params["embed"], tokens, tp_axis)
-    x = (x.astype(jnp.float32) * (cfg.d_model**0.5)).astype(jnp.bfloat16)
+    x = _embed_lookup(params["embed"], tokens, tp_axis, cfg.act_dtype)
+    x = (x.astype(jnp.float32) * (cfg.d_model**0.5)).astype(cfg.act_dtype)
     record("inp_embd", x)
 
     for i, lp in enumerate(params["layers"]):

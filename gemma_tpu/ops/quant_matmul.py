@@ -263,6 +263,14 @@ def register_all() -> None:
 
     def make(fmt):
         def fn(x, qt):
+            # f32 activations = evaluation-precision mode (the Δppl gate):
+            # dequantize in f32 and dot in f32, exactly ggml's arithmetic.
+            if x.dtype == jnp.float32:
+                from ..quant.qtensor import dequant_t
+
+                return jnp.dot(
+                    x, dequant_t(qt, jnp.float32), preferred_element_type=jnp.float32
+                )
             # On non-TPU backends interpret-mode kernels are orders of
             # magnitude slower than the XLA fallback; only kernel tests opt
             # in via GEMMA_TPU_INTERPRET_KERNELS=1.

@@ -51,10 +51,19 @@ def evaluate(
     tokens: list[int] | np.ndarray,
     ctx: int = 512,
     stride: int | None = None,
+    precision: str = "float32",
 ) -> PerplexityResult:
-    """Sliding-window perplexity (non-overlapping windows by default)."""
+    """Sliding-window perplexity (non-overlapping windows by default).
+
+    `precision` sets the activation dtype: float32 (default) matches
+    ggml's f32 evaluation arithmetic for the Δppl gate; "bfloat16" scores
+    with the serving path's numerics."""
+    import dataclasses as _dc
+
     from ..runtime.kv_cache import KVCache
 
+    if precision != cfg.activation_dtype:
+        cfg = _dc.replace(cfg, activation_dtype=precision)
     tokens = np.asarray(tokens, np.int32)
     stride = stride or ctx
     fn = jax.jit(lambda p, t, r, c: _window_nll(p, cfg, t, r, c))
@@ -67,7 +76,7 @@ def evaluate(
             break
         if real < ctx:  # pad to keep one compiled shape
             window = np.pad(window, (0, ctx - real))
-        cache = KVCache.create(cfg, 1, ctx)
+        cache = KVCache.create(cfg, 1, ctx, dtype=cfg.act_dtype)
         nll_sum = fn(params, jnp.asarray(window), jnp.asarray(real, jnp.int32), cache)
         total_nll += float(nll_sum)
         total_n += real - 1

@@ -153,3 +153,55 @@ def test_profiler_wired_into_engine(model):
     assert "decode.steps[B=1]" in rep  # roofline ledger entry
     assert "tokens.decoded" in rep
     assert "trace.matmul" in rep  # per-compile op-shape histogram
+
+
+def test_delta_ppl_gate_vs_ggml_reference(tmp_path):
+    """BASELINE gate: |ppl(engine on a ggml-quantized checkpoint) -
+    ppl(ggml-exact numpy reference on the same checkpoint)| <= 0.05.
+    Evaluation runs in f32 activations with an f32 KV cache (ggml's own
+    arithmetic); q4_0/q8_0 reproduce the reference exactly, K-quants to
+    the f16 effective-scale rounding. Full-size run: tools/ppl_gate.py."""
+    import math
+
+    import ref_numpy_gemma
+    from gemma_tpu.models.config import GemmaConfig
+    from gemma_tpu.quant import numpy_ref as nref
+
+    cfg0 = GemmaConfig(
+        vocab_size=512, d_model=256, n_layers=2, n_heads=4, n_kv_heads=2,
+        head_dim=64, d_ff=256, context_length=128,
+    )
+    rng = np.random.default_rng(2)
+    toks = rng.integers(260, 500, size=96).astype(np.int32)
+    for gtype in (GGMLType.Q4_0, GGMLType.Q8_0, GGMLType.Q4_K):
+        path = tmp_path / f"g_{gtype}.gguf"
+        make_gguf(path, cfg0, weight_type=gtype, seed=5, scale=0.08)
+        r = GGUFReader(path)
+        cfg, qp = load_params(r, mode="quantized")
+        ppl_engine = perplexity.evaluate(qp, cfg, toks, ctx=64).ppl
+
+        weights = {
+            ti.name: nref.dequantize(r.tensor_raw(ti.name), ti.ggml_type, ti.shape)
+            for ti in r
+        }
+        total, n = 0.0, 0
+        for s in range(0, len(toks) - 1, 64):
+            win = toks[s : s + 64]
+            if len(win) < 2:
+                break
+            logits = ref_numpy_gemma.forward(weights, cfg, list(win))[:-1].astype(np.float64)
+            logits -= logits.max(axis=-1, keepdims=True)
+            logp = logits - np.log(np.exp(logits).sum(axis=-1, keepdims=True))
+            total += -logp[np.arange(len(win) - 1), win[1:]].sum()
+            n += len(win) - 1
+        ppl_ref = math.exp(total / n)
+        if gtype in (GGMLType.Q4_0, GGMLType.Q8_0):
+            # exact ggml arithmetic: the 0.05 absolute gate holds even on
+            # this random-corpus ppl scale
+            assert abs(ppl_engine - ppl_ref) <= 0.05, (gtype, ppl_engine, ppl_ref)
+        else:
+            # K-quants fold d*sc into one f16 effective scale (<= 2^-11
+            # relative, documented in qtensor.py): relative bound here;
+            # tools/ppl_gate.py holds the absolute 0.05 on a realistic
+            # model-sampled corpus (recorded in PARITY.md)
+            assert abs(ppl_engine - ppl_ref) <= 1e-3 * ppl_ref, (gtype, ppl_engine, ppl_ref)

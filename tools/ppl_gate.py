@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Δppl gate (BASELINE.md: Δperplexity <= 0.05 vs ggml Q4_0/Q8_0).
+
+Parity reading of the gate: the engine evaluating a ggml-quantized
+checkpoint must reproduce the perplexity that ggml's own arithmetic
+(numpy_ref dequant, bit-exact with ggml's codecs, through the independent
+numpy forward) assigns to the same checkpoint on the same corpus —
+|ppl_engine - ppl_ggml_ref| <= 0.05. This is the executable analogue of the
+reference's golden-diff flow (/root/reference/src/gemma_model.cpp:240-279):
+llama.cpp's role is played by tests/ref_numpy_gemma.py.
+
+Corpus: tokens sampled FROM the float model itself (temperature 0.8), so
+the distribution is peaked and the ppl numbers are meaningful rather than
+~uniform-vocab noise.
+
+Prints one JSON line; paste the table into PARITY.md when re-running.
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except RuntimeError:
+        pass
+
+from gemma_tpu.compile_cache import setup_compile_cache
+
+setup_compile_cache()
+
+import numpy as np
+
+import ref_numpy_gemma
+from gemma_tpu.gguf import GGMLType, GGUFReader
+from gemma_tpu.models import load_params
+from gemma_tpu.models.config import GemmaConfig
+from gemma_tpu.quant import numpy_ref
+from gemma_tpu.runtime import Engine, EngineConfig, SamplingParams
+from gemma_tpu.testing import make_gguf
+from gemma_tpu.utils import perplexity
+
+CFG = GemmaConfig(
+    vocab_size=2048, d_model=512, n_layers=4, n_heads=8, n_kv_heads=2,
+    head_dim=64, d_ff=1024, context_length=512,
+)
+CTX = int(os.environ.get("PPL_CTX", "128"))
+N_TOKENS = int(os.environ.get("PPL_TOKENS", "384"))
+
+
+def numpy_ppl(weights, cfg, tokens: np.ndarray, ctx: int) -> float:
+    """Same windowing/accounting as utils.perplexity.evaluate, through the
+    independent numpy forward (f32 activations — ggml's arithmetic)."""
+    total, n = 0.0, 0
+    for start in range(0, max(1, len(tokens) - 1), ctx):
+        window = tokens[start : start + ctx]
+        if len(window) < 2:
+            break
+        logits = ref_numpy_gemma.forward(weights, cfg, list(window))
+        logits = logits[:-1].astype(np.float64)
+        logits -= logits.max(axis=-1, keepdims=True)
+        logp = logits - np.log(np.exp(logits).sum(axis=-1, keepdims=True))
+        total += -logp[np.arange(len(window) - 1), window[1:]].sum()
+        n += len(window) - 1
+    return math.exp(total / n)
+
+
+def main() -> None:
+    import tempfile
+
+    results = {}
+    with tempfile.TemporaryDirectory() as td:
+        # one float checkpoint; corpus sampled from the float model
+        f32_path = os.path.join(td, "m_f32.gguf")
+        make_gguf(f32_path, CFG, weight_type=GGMLType.F32, seed=7, scale=0.08)
+        reader = GGUFReader(f32_path)
+        cfg, fparams = load_params(reader, mode="dequant")
+        eng = Engine(cfg, fparams, EngineConfig(max_seq_len=CTX, donate_cache=False))
+        corpus: list[int] = [1]
+        while len(corpus) < N_TOKENS:
+            room = CTX - 1 - (len(corpus) % (CTX - 1)) if len(corpus) % (CTX - 1) else CTX - 1
+            chunk = eng.generate(
+                [corpus[-min(len(corpus), 8):]],
+                max_new_tokens=min(room, N_TOKENS - len(corpus)),
+                sampling=SamplingParams(temperature=0.8, top_k=64),
+                seed=len(corpus),
+            )[0]
+            corpus.extend(chunk)
+        toks = np.asarray(corpus[:N_TOKENS], np.int32)
+
+        for fmt_name, gtype in [("f32", GGMLType.F32), ("q4_0", GGMLType.Q4_0),
+                                ("q8_0", GGMLType.Q8_0), ("q4_k", GGMLType.Q4_K),
+                                ("q6_k", GGMLType.Q6_K)]:
+            path = os.path.join(td, f"m_{fmt_name}.gguf")
+            make_gguf(path, CFG, weight_type=gtype, seed=7, scale=0.08)
+            r = GGUFReader(path)
+            cfg_i, params_i = load_params(
+                r, mode="dequant" if fmt_name == "f32" else "quantized"
+            )
+            ppl_engine = perplexity.evaluate(params_i, cfg_i, toks, ctx=CTX).ppl
+            weights = {
+                ti.name: numpy_ref.dequantize(r.tensor_raw(ti.name), ti.ggml_type, ti.shape)
+                for ti in r
+            }
+            ppl_ref = numpy_ppl(weights, cfg_i, toks, CTX)
+            results[fmt_name] = {
+                "ppl_engine": round(ppl_engine, 4),
+                "ppl_ggml_ref": round(ppl_ref, 4),
+                "delta": round(ppl_engine - ppl_ref, 4),
+            }
+            print(f"{fmt_name:5s} engine={ppl_engine:8.4f} ggml_ref={ppl_ref:8.4f} "
+                  f"delta={ppl_engine - ppl_ref:+.4f}", flush=True)
+
+    # the BASELINE gate is "Δppl <= 0.05 vs ggml Q4_0/Q8_0": quantized
+    # formats only. The f32 row is informational — it measures the bf16
+    # weight cast of the dense serving path against the f32 reference.
+    gate_fmts = [f for f in results if f != "f32"]
+    worst = max(abs(results[f]["delta"]) for f in gate_fmts)
+    print(json.dumps({
+        "metric": "delta_ppl_gate", "results": results,
+        "worst_abs_delta_quant": round(worst, 4),
+        "gate": "PASS" if worst <= 0.05 else "FAIL",
+        "corpus_tokens": int(N_TOKENS), "ctx": CTX,
+    }))
+
+
+if __name__ == "__main__":
+    main()
