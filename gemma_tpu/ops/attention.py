@@ -1,4 +1,4 @@
-"""Attention ops: Pallas flash attention (prefill) + XLA fallback.
+"""Attention ops: Pallas flash attention (prefill) + S-tiled decode kernel.
 
 Replaces the reference's materialized QK^T + dense 512x512 -inf mask + full
 softmax (`/root/reference/src/gemma_model.cpp:326-335,454-496`) with an
@@ -6,20 +6,22 @@ online-softmax tiled kernel: the [T, S] score matrix never exists in HBM,
 so context scales to 8K+ (BASELINE.json configs 3-4) where the dense path
 would need gigabytes.
 
-Shapes (cache-aware, GQA-general):
-    q:  [B, Hq, T, D]   (already scaled by query_scale, RoPE applied)
-    k,v:[B, Hkv, S, D]  (S = cache capacity; validity via kv_limit)
-    positions: [B, T]   absolute query positions (mask: key_idx <= pos)
-    kv_limit:  [B]      number of valid cache slots
+Shapes (cache-native, GQA-general):
+    q:  [B, T, Hq, D]    (already scaled by query_scale, RoPE applied)
+    k,v:[B, Hkv, S, D]   (the KV-cache's own layout — S second-to-last so
+                         Pallas blocks tile (bs, D) without any transpose;
+                         Mosaic requires the last two block dims tileable)
+    positions: [B, T]    absolute query positions (mask: key_idx <= pos)
+    kv_limit:  [B]       number of valid cache slots
 
 Masking rule matches runtime.kv_cache semantics: key slot j attends iff
-j <= position[q] and j < kv_limit[b]. The kernel skips KV tiles that are
-entirely masked (causal block skip, boom guide §5).
+j <= position[q] and j < kv_limit[b]. Both kernels skip KV tiles that are
+entirely masked (causal/validity block skip), so early decode steps on an
+8K cache stream only the live prefix, not the whole allocation.
 
 Dispatch: `attention()` uses the flash kernel on TPU when shapes tile
-(T, S multiples of the block sizes, D lane-aligned); otherwise the XLA
-fallback. Decode (T=1) currently uses the fallback — its HBM cost is the
-KV stream itself, which XLA handles at streaming rate.
+(T, S multiples of the block sizes, D lane-aligned), the fused S-tiled
+decode kernel for T=1, and the XLA fallback otherwise.
 """
 from __future__ import annotations
 
@@ -34,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 NUM_LANES = 128
 DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_S = 128
+DECODE_BLOCK_S = 256
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
@@ -47,18 +50,18 @@ def _interpret() -> bool:
 
 def sdpa_xla(
     q: jax.Array,  # [B, T, Hq, D] (scaled)
-    k: jax.Array,  # [B, S, Hkv, D]
-    v: jax.Array,  # [B, S, Hkv, D]
+    k: jax.Array,  # [B, Hkv, S, D]
+    v: jax.Array,  # [B, Hkv, S, D]
     positions: jax.Array,  # [B, T]
     kv_limit: jax.Array,  # [B]
     attn_softcap: float = 0.0,
     window: int = 0,
 ) -> jax.Array:
     B, T, Hq, D = q.shape
-    S, Hkv = k.shape[1], k.shape[2]
+    Hkv, S = k.shape[1], k.shape[2]
     G = Hq // Hkv
     qg = q.reshape(B, T, Hkv, G, D)
-    scores = jnp.einsum("bthgd,bshd->bhgts", qg, k, preferred_element_type=jnp.float32)
+    scores = jnp.einsum("bthgd,bhsd->bhgts", qg, k, preferred_element_type=jnp.float32)
     if attn_softcap:
         scores = attn_softcap * jnp.tanh(scores / attn_softcap)
     key_idx = jnp.arange(S, dtype=jnp.int32)
@@ -69,17 +72,17 @@ def sdpa_xla(
         valid &= key_idx[None, None, :] > positions[:, :, None] - window
     scores = jnp.where(valid[:, None, None], scores, -1e30)
     w = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhgts,bshd->bthgd", w.astype(v.dtype), v)
+    out = jnp.einsum("bhgts,bhsd->bthgd", w.astype(v.dtype), v)
     return out.reshape(B, T, Hq, D)
 
 
 # ---------------------------------------------------------------------------
-# Flash kernel
+# Flash kernel (prefill)
 # ---------------------------------------------------------------------------
 
 def _flash_kernel(
-    pos0_ref,  # SMEM [1, 1] absolute position of the batch row's first query
-    lim_ref,  # SMEM [1, 1] kv_limit for this batch row
+    pos0_ref,  # SMEM [B, 1] absolute position of each batch row's first query
+    lim_ref,  # SMEM [B, 1] kv_limit per batch row
     q_ref,  # [1, 1, bq, D]
     k_ref,  # [1, 1, bs, D]
     v_ref,  # [1, 1, bs, D]
@@ -104,8 +107,9 @@ def _flash_kernel(
     bq, D = q_ref.shape[2], q_ref.shape[3]
     # query rows are consecutive absolute positions starting at
     # pos0 + tq*bq (flash_supported enforces consecutiveness)
-    tile_pos0 = pos0_ref[0, 0] + pl.program_id(2) * bq
-    limit = lim_ref[0, 0]
+    b = pl.program_id(0)
+    tile_pos0 = pos0_ref[b, 0] + pl.program_id(2) * bq
+    limit = lim_ref[b, 0]
 
     # tile-level skip: any key in this tile valid for any query row?
     s_start = s_idx * block_s
@@ -178,8 +182,8 @@ def _flash_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b, h, tq, sk: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda b, h, tq, sk: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, tq, sk: (b, h, tq, 0)),
             pl.BlockSpec((1, 1, block_s, D), lambda b, h, tq, sk: (b, h // G, sk, 0)),
             pl.BlockSpec((1, 1, block_s, D), lambda b, h, tq, sk: (b, h // G, sk, 0)),
@@ -211,7 +215,7 @@ def flash_supported(T: int, S: int, D: int, positions_consecutive: bool = True) 
 
 def flash_attention(
     q: jax.Array,  # [B, T, Hq, D] scaled
-    k: jax.Array,  # [B, S, Hkv, D]
+    k: jax.Array,  # [B, Hkv, S, D] (cache layout)
     v: jax.Array,
     positions: jax.Array,  # [B, T] (consecutive per row for tile-skip)
     kv_limit: jax.Array,  # [B]
@@ -221,10 +225,8 @@ def flash_attention(
     block_s: int = DEFAULT_BLOCK_S,
 ) -> jax.Array:
     q_bhtd = q.transpose(0, 2, 1, 3)
-    k_bhsd = k.transpose(0, 2, 1, 3)
-    v_bhsd = v.transpose(0, 2, 1, 3)
     out = _flash_call(
-        q_bhtd, k_bhsd, v_bhsd,
+        q_bhtd, k, v,
         positions.astype(jnp.int32), kv_limit.astype(jnp.int32),
         block_q, block_s, float(attn_softcap), int(window), _interpret(),
     )
@@ -234,103 +236,153 @@ def flash_attention(
 # ---------------------------------------------------------------------------
 # Decode kernel (T=1): one fused program per layer instead of the ~6 XLA
 # fusions (einsum, mask, softmax, einsum) of sdpa_xla — at batch-1 decode
-# those small launches cost more than the KV stream itself.
+# those small launches cost more than the KV stream itself. S-tiled with a
+# validity skip, so a long cache only streams its live prefix (an 8K cache
+# at position 500 reads 3 tiles, not 32) and VMEM never bounds S.
 # ---------------------------------------------------------------------------
 
-def _decode_kernel(lim_ref, q_ref, k_ref, v_ref, o_ref, *, window: int,
-                   attn_softcap: float):
-    limit = lim_ref[0, 0]
-    q = q_ref[0, 0]  # [G, D]
-    k = k_ref[0, :, 0, :]  # [S, D]
-    v = v_ref[0, :, 0, :]
-    G, D = q.shape
-    S = k.shape[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [G, S]
-    if attn_softcap:
-        s = attn_softcap * jnp.tanh(s / attn_softcap)
-    col = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
-    mask = col < limit
-    if window > 0:
-        mask &= col > limit - 1 - window
-    s = jnp.where(mask, s, MASK_VALUE)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = jnp.where(mask, p, 0.0)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    p = p / jnp.where(l == 0.0, 1.0, l)
-    o_ref[0, 0] = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+def _decode_kernel(
+    lim_ref,  # SMEM [B, 1]
+    q_ref,  # [1, 1, G, D]
+    k_ref,  # [1, 1, bs, D]
+    v_ref,  # [1, 1, bs, D]
+    o_ref,  # [1, 1, G, D]
+    m_scr,  # VMEM [G, NUM_LANES]
+    l_scr,  # VMEM [G, NUM_LANES]
+    acc_scr,  # VMEM [G, D]
+    *,
+    n_s_tiles: int,
+    block_s: int,
+    window: int,
+    attn_softcap: float,
+):
+    s_idx = pl.program_id(2)
+
+    @pl.when(s_idx == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    limit = lim_ref[pl.program_id(0), 0]
+    s_start = s_idx * block_s
+    tile_live = s_start < limit
+    if window > 0:  # tile entirely older than the query's window?
+        tile_live &= s_start + block_s - 1 >= limit - window
+
+    @pl.when(tile_live)
+    def _():
+        q = q_ref[0, 0]  # [G, D]
+        k = k_ref[0, 0]  # [bs, D]
+        G = q.shape[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [G, bs]
+        if attn_softcap:
+            s = attn_softcap * jnp.tanh(s / attn_softcap)
+        col = s_start + jax.lax.broadcasted_iota(jnp.int32, (G, block_s), 1)
+        mask = col < limit
+        if window > 0:
+            mask &= col > limit - 1 - window
+        s = jnp.where(mask, s, MASK_VALUE)
+
+        m_prev = m_scr[...][:, :1]
+        l_prev = l_scr[...][:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        p = jnp.where(mask, p, 0.0)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+        v_t = v_ref[0, 0]  # [bs, D]
+        pv = jax.lax.dot_general(
+            p.astype(v_t.dtype), v_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
+    @pl.when(s_idx == n_s_tiles - 1)
+    def _():
+        l = l_scr[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "attn_softcap", "interpret")
+    jax.jit, static_argnames=("block_s", "window", "attn_softcap", "interpret")
 )
-def _decode_call(q_bhgd, k, v, kv_limit, window, attn_softcap, interpret):
+def _decode_call(q_bhgd, k, v, kv_limit, block_s, window, attn_softcap, interpret):
     B, Hkv, G, D = q_bhgd.shape
-    S = k.shape[1]
+    S = k.shape[2]
+    n_s = S // block_s
     kernel = functools.partial(
-        _decode_kernel, window=window, attn_softcap=attn_softcap
+        _decode_kernel, n_s_tiles=n_s, block_s=block_s,
+        window=window, attn_softcap=attn_softcap,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(B, Hkv),
+        grid=(B, Hkv, n_s),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b, h: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, G, D), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, S, 1, D), lambda b, h: (b, 0, h, 0)),
-            pl.BlockSpec((1, S, 1, D), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, G, D), lambda b, h, sk: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, block_s, D), lambda b, h, sk: (b, h, sk, 0)),
+            pl.BlockSpec((1, 1, block_s, D), lambda b, h, sk: (b, h, sk, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, sk: (b, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((G, NUM_LANES), jnp.float32),
+            pltpu.VMEM((G, NUM_LANES), jnp.float32),
+            pltpu.VMEM((G, D), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(kv_limit.reshape(B, 1), q_bhgd, k, v)
     return out
 
 
+MIN_DECODE_G = 8
+
+
 def decode_attention(
     q: jax.Array,  # [B, 1, Hq, D] scaled
-    k: jax.Array,  # [B, S, Hkv, D]
+    k: jax.Array,  # [B, Hkv, S, D] (cache layout)
     v: jax.Array,
     kv_limit: jax.Array,  # [B]; the query is at position kv_limit-1
     attn_softcap: float = 0.0,
     window: int = 0,
 ) -> jax.Array:
     B, T, Hq, D = q.shape
-    Hkv = k.shape[2]
+    Hkv, S = k.shape[1], k.shape[2]
     G = Hq // Hkv
     Gp = max(G, MIN_DECODE_G)
     qg = q.reshape(B, Hkv, G, D)
     if Gp != G:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
+    block_s = DECODE_BLOCK_S if S % DECODE_BLOCK_S == 0 else S
     out = _decode_call(
         qg, k, v, kv_limit.astype(jnp.int32),
-        int(window), float(attn_softcap), _interpret(),
+        block_s, int(window), float(attn_softcap), _interpret(),
     )
     return out[:, :, :G].reshape(B, 1, Hq, D).astype(q.dtype)
-
-
-MIN_DECODE_G = 8
 
 
 def decode_supported(T: int, S: int, Hq: int, Hkv: int, D: int) -> bool:
     return (
         T == 1
         and D % NUM_LANES == 0
-        and S % 8 == 0
+        and (S % DECODE_BLOCK_S == 0 or S % 8 == 0)
         and Hq % Hkv == 0
     )
 
 
 def attention(
     q: jax.Array,  # [B, T, Hq, D] scaled
-    k: jax.Array,
+    k: jax.Array,  # [B, Hkv, S, D] (cache layout)
     v: jax.Array,
     positions: jax.Array,
     kv_limit: jax.Array,
@@ -338,10 +390,9 @@ def attention(
     window: int = 0,
 ) -> jax.Array:
     """Dispatch: flash kernel for tile-compatible prefill shapes, fused
-    decode kernel for T=1, XLA fallback otherwise (odd shapes, CPU)."""
+    S-tiled decode kernel for T=1, XLA fallback otherwise (odd shapes, CPU)."""
     B, T, Hq, D = q.shape
-    S = k.shape[1]
-    Hkv = k.shape[2]
+    Hkv, S = k.shape[1], k.shape[2]
     use_interpret = os.environ.get("GEMMA_TPU_INTERPRET_KERNELS") == "1"
     on_kernel_path = not _interpret() or use_interpret
     if on_kernel_path and decode_supported(T, S, Hq, Hkv, D):

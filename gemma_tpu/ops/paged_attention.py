@@ -11,7 +11,9 @@ style paged attention; generalizes the reference's dead `kv_cell` machinery,
 
 Shapes:
     q:          [B, 1, Hq, D] (query_scale applied; position = kv_limit-1)
-    k/v pages:  [P, ps, Hkv, D] (one layer's pool slice)
+    k/v pages:  [P, Hkv, ps, D] (one layer's pool slice; ps second-to-last
+                so each (1, 1, ps, D) block tiles under Mosaic's last-two-
+                dims rule for any Hkv)
     page_table: i32 [B, maxp] physical page per logical page (0 = trash)
     kv_limit:   i32 [B] valid token count
 
@@ -44,8 +46,8 @@ def _paged_kernel(
     pt_ref,  # scalar-prefetch: i32 [B, maxp]
     lim_ref,  # scalar-prefetch: i32 [B]
     q_ref,  # [1, 1, G, D]
-    k_ref,  # [1, ps, 1, D]
-    v_ref,  # [1, ps, 1, D]
+    k_ref,  # [1, 1, ps, D]
+    v_ref,  # [1, 1, ps, D]
     o_ref,  # [1, 1, G, D]
     m_scr,  # VMEM [G, NUM_LANES]
     l_scr,  # VMEM [G, NUM_LANES]
@@ -73,7 +75,7 @@ def _paged_kernel(
     @pl.when(live)
     def _():
         q = q_ref[0, 0]  # [G, D]
-        k = k_ref[0, :, 0, :]  # [ps, D]
+        k = k_ref[0, 0]  # [ps, D]
         G = q.shape[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -96,7 +98,7 @@ def _paged_kernel(
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
-        v = v_ref[0, :, 0, :]  # [ps, D]
+        v = v_ref[0, 0]  # [ps, D]
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -116,7 +118,7 @@ def _paged_kernel(
 def _paged_call(q_bhgd, k_pages, v_pages, page_table, kv_limit,
                 attn_softcap, window, interpret):
     B, Hkv, G, D = q_bhgd.shape
-    P, ps = k_pages.shape[0], k_pages.shape[1]
+    P, ps = k_pages.shape[0], k_pages.shape[2]
     maxp = page_table.shape[1]
 
     def page_map(b, h, i, pt_ref, lim_ref):
@@ -124,7 +126,7 @@ def _paged_call(q_bhgd, k_pages, v_pages, page_table, kv_limit,
         # identical block indices elide the DMA, and pl.when skips compute.
         n_live = jnp.maximum((lim_ref[b] + ps - 1) // ps, 1)
         idx = jnp.where(i < n_live, i, n_live - 1)
-        return (pt_ref[b, idx], 0, h, 0)
+        return (pt_ref[b, idx], h, 0, 0)
 
     kernel = functools.partial(
         _paged_kernel, ps=ps, n_pages=maxp,
@@ -135,8 +137,8 @@ def _paged_call(q_bhgd, k_pages, v_pages, page_table, kv_limit,
         grid=(B, Hkv, maxp),
         in_specs=[
             pl.BlockSpec((1, 1, G, D), lambda b, h, i, *_: (b, h, 0, 0)),
-            pl.BlockSpec((1, ps, 1, D), page_map),
-            pl.BlockSpec((1, ps, 1, D), page_map),
+            pl.BlockSpec((1, 1, ps, D), page_map),
+            pl.BlockSpec((1, 1, ps, D), page_map),
         ],
         out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, i, *_: (b, h, 0, 0)),
         scratch_shapes=[
@@ -161,7 +163,7 @@ def paged_decode_supported(cache, T: int, Hq: int) -> bool:
     if T != 1 or cache.quantized:
         return False
     D = cache.k_pages.shape[-1]
-    Hkv = cache.k_pages.shape[-2]
+    Hkv = cache.k_pages.shape[2]
     on_kernel_path = (
         jax.default_backend() == "tpu"
         or os.environ.get("GEMMA_TPU_INTERPRET_KERNELS") == "1"
@@ -181,7 +183,7 @@ def paged_decode_attention(
     B, T, Hq, D = q.shape
     k_pages = cache.k_pages[layer]
     v_pages = cache.v_pages[layer]
-    Hkv = k_pages.shape[-2]
+    Hkv = k_pages.shape[1]
     G = Hq // Hkv
     Gp = max(G, MIN_G)
     qg = q.reshape(B, Hkv, G, D)

@@ -229,8 +229,8 @@ def cache_specs(cfg: GemmaConfig, mesh: Mesh, batch: int, cache) -> Any:
     dp = mesh.shape[DATA_AXIS]
     h = MODEL_AXIS if tp > 1 else None
     b = DATA_AXIS if batch % dp == 0 and dp > 1 else None
-    kv = P(None, b, None, h, None)
-    sc = P(None, b, None, h)
+    kv = P(None, b, h, None, None)  # [L, B, H, S, D]
+    sc = P(None, b, h, None)  # [L, B, H, S]
     return dataclasses.replace(
         cache,
         k=kv, v=kv, length=P(b),

@@ -243,9 +243,7 @@ class Engine:
         assigned to this sequence (>= prefill_bucket/page_size of them)."""
         logits, k_seq, v_seq, (k_sc, v_sc), length = prefill_out
         if pages is not None:
-            ps = cache.page_size
             maxp = cache.page_table.shape[1]
-            T = k_seq.shape[1]
             pages_arr = np.zeros(maxp, np.int32)
             pages_arr[: len(pages)] = pages
             return self._insert_paged(
@@ -254,9 +252,9 @@ class Engine:
                 jnp.asarray(length, jnp.int32), k_sc, v_sc,
             )
         S = cache.max_len
-        T = k_seq.shape[1]
+        T = k_seq.shape[2]  # k_seq is [L, H, T, D]
         if T < S:  # pad the inserted chunk to a fixed shape per bucket
-            pad = [(0, 0), (0, S - T), (0, 0), (0, 0)]
+            pad = [(0, 0), (0, 0), (0, S - T), (0, 0)]
             k_seq = jnp.pad(k_seq, pad)
             v_seq = jnp.pad(v_seq, pad)
             if k_sc is not None:

@@ -6,6 +6,10 @@ head/n bookkeeping (`/root/reference/src/gemma_model.h:75-97`,
 
 * one stacked array per K/V across all layers — a single pytree leaf,
   donated through jit so decode updates are in-place in HBM;
+* layout is **[L, B, H_kv, S, D]**: the sequence dim sits second-to-last so
+  Pallas attention kernels tile (bs, D) blocks directly (Mosaic requires
+  the last two block dims to be tileable) and the flash launcher needs no
+  per-step transpose of the cache;
 * per-sequence valid lengths (`length[b]`) instead of a single global
   `head`/`n` — multiple independent sequences batch together (the
   reference's `cells`/seq-id machinery is dead code; here it's real);
@@ -29,12 +33,12 @@ from ..models.config import GemmaConfig
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class KVCache:
-    """Dense cache: k/v of shape [L, B, S, H_kv, D]; length[b] = #valid."""
+    """Dense cache: k/v of shape [L, B, H_kv, S, D]; length[b] = #valid."""
 
     k: Any
     v: Any
     length: jax.Array  # i32 [B]
-    # int8 mode: per-(layer, batch, position, head) scales, [L, B, S, H_kv]
+    # int8 mode: per-(layer, batch, head, position) scales, [L, B, H_kv, S]
     k_scale: Any = None
     v_scale: Any = None
 
@@ -55,7 +59,7 @@ class KVCache:
         dtype=jnp.bfloat16,
         quantized: bool = False,
     ) -> "KVCache":
-        shape = (config.n_layers, batch, max_len, config.n_kv_heads, config.head_dim)
+        shape = (config.n_layers, batch, config.n_kv_heads, max_len, config.head_dim)
         if quantized:
             return cls(
                 k=jnp.zeros(shape, jnp.int8),
@@ -76,7 +80,7 @@ class KVCache:
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @property
     def batch(self) -> int:
@@ -93,7 +97,7 @@ class KVCache:
         return q, scale
 
     def gather_layer(self, layer: int) -> tuple[jax.Array, jax.Array]:
-        """Dequantized [B, S, H, D] views of layer `layer` (fallback path)."""
+        """Dequantized [B, H, S, D] views of layer `layer`."""
         k, v = self.k[layer], self.v[layer]
         if self.quantized:
             k = k.astype(jnp.bfloat16) * self.k_scale[layer][..., None].astype(jnp.bfloat16)
@@ -103,41 +107,54 @@ class KVCache:
     # -- writes ------------------------------------------------------------
     def write_chunk(self, layer: int, start: jax.Array, k_new: jax.Array, v_new: jax.Array) -> "KVCache":
         """Write a [B, T, H, D] chunk at uniform offset `start` (prefill)."""
-        def upd(buf, val):
-            return jax.lax.dynamic_update_slice(buf, val[None], (layer, 0, start, 0, 0))
+        def upd(buf, val):  # val [B, T, H, D] -> [B, H, T, D]
+            return jax.lax.dynamic_update_slice(
+                buf, val.transpose(0, 2, 1, 3)[None], (layer, 0, 0, start, 0)
+            )
 
-        changes = {}
         if self.quantized:
             qk, sk = self._quantize(k_new)
             qv, sv = self._quantize(v_new)
+
+            def upd_s(buf, s):  # s [B, T, H] -> [B, H, T]
+                return jax.lax.dynamic_update_slice(
+                    buf, s.transpose(0, 2, 1)[None], (layer, 0, 0, start)
+                )
+
             changes = dict(
                 k=upd(self.k, qk),
                 v=upd(self.v, qv),
-                k_scale=jax.lax.dynamic_update_slice(self.k_scale, sk[None], (layer, 0, start, 0)),
-                v_scale=jax.lax.dynamic_update_slice(self.v_scale, sv[None], (layer, 0, start, 0)),
+                k_scale=upd_s(self.k_scale, sk),
+                v_scale=upd_s(self.v_scale, sv),
             )
         else:
-            changes = dict(k=upd(self.k, k_new.astype(self.k.dtype)), v=upd(self.v, v_new.astype(self.v.dtype)))
+            changes = dict(
+                k=upd(self.k, k_new.astype(self.k.dtype)),
+                v=upd(self.v, v_new.astype(self.v.dtype)),
+            )
         return dataclasses.replace(self, **changes)
 
     def write_token(self, layer: int, index: jax.Array, k_new: jax.Array, v_new: jax.Array) -> "KVCache":
         """Scatter a single token per sequence: k_new [B, 1, H, D] written at
         per-batch position index[b] (decode)."""
-        b = jnp.arange(self.batch)
+        B, H = self.k.shape[1], self.k.shape[2]
+        b = jnp.arange(B)[:, None]
+        h = jnp.arange(H)[None, :]
+        idx = index[:, None]
         if self.quantized:
             qk, sk = self._quantize(k_new)
             qv, sv = self._quantize(v_new)
             return dataclasses.replace(
                 self,
-                k=self.k.at[layer, b, index].set(qk[:, 0]),
-                v=self.v.at[layer, b, index].set(qv[:, 0]),
-                k_scale=self.k_scale.at[layer, b, index].set(sk[:, 0]),
-                v_scale=self.v_scale.at[layer, b, index].set(sv[:, 0]),
+                k=self.k.at[layer, b, h, idx].set(qk[:, 0]),
+                v=self.v.at[layer, b, h, idx].set(qv[:, 0]),
+                k_scale=self.k_scale.at[layer, b, h, idx].set(sk[:, 0]),
+                v_scale=self.v_scale.at[layer, b, h, idx].set(sv[:, 0]),
             )
         return dataclasses.replace(
             self,
-            k=self.k.at[layer, b, index].set(k_new[:, 0].astype(self.k.dtype)),
-            v=self.v.at[layer, b, index].set(v_new[:, 0].astype(self.v.dtype)),
+            k=self.k.at[layer, b, h, idx].set(k_new[:, 0].astype(self.k.dtype)),
+            v=self.v.at[layer, b, h, idx].set(v_new[:, 0].astype(self.v.dtype)),
         )
 
     def advance(self, n: jax.Array) -> "KVCache":
@@ -146,10 +163,10 @@ class KVCache:
     def insert_sequence(
         self,
         slot: jax.Array,  # scalar i32
-        k_seq: jax.Array,  # [L, T, H, D] (already quantized if cache is)
+        k_seq: jax.Array,  # [L, H, T, D] (already quantized if cache is)
         v_seq: jax.Array,
         length: jax.Array,  # scalar i32 true length (<= T)
-        k_scale: jax.Array | None = None,  # [L, T, H] when quantized
+        k_scale: jax.Array | None = None,  # [L, H, T] when quantized
         v_scale: jax.Array | None = None,
     ) -> "KVCache":
         """Insert a prefilled sequence's K/V into batch row `slot` (the

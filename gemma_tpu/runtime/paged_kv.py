@@ -8,7 +8,9 @@ block table, so cache capacity is pooled (no per-slot worst-case
 reservation) and admission is O(pages-needed).
 
 Device state (jit-carried pytree):
-    k_pages, v_pages: [L, n_pages, page_size, H_kv, D]
+    k_pages, v_pages: [L, n_pages, H_kv, page_size, D]  (page_size sits
+                      second-to-last so the paged Pallas kernel tiles
+                      (ps, D) blocks directly)
     page_table:       i32 [B, max_pages_per_seq]  (physical page ids)
     length:           i32 [B]
 
@@ -61,11 +63,11 @@ class PageAllocator:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class PagedKVCache:
-    k_pages: Any  # [L, P, ps, H, D]
+    k_pages: Any  # [L, P, H, ps, D]
     v_pages: Any
     page_table: jax.Array  # i32 [B, maxp]
     length: jax.Array  # i32 [B]
-    k_scale: Any = None  # [L, P, ps, H] int8 mode
+    k_scale: Any = None  # [L, P, H, ps] int8 mode
     v_scale: Any = None
 
     def tree_flatten(self):
@@ -91,7 +93,7 @@ class PagedKVCache:
         quantized: bool = False,
     ) -> "PagedKVCache":
         maxp = (max_seq_len or config.context_length) // page_size
-        shape = (config.n_layers, n_pages, page_size, config.n_kv_heads, config.head_dim)
+        shape = (config.n_layers, n_pages, config.n_kv_heads, page_size, config.head_dim)
         kw = {}
         if quantized:
             kw = dict(
@@ -112,7 +114,7 @@ class PagedKVCache:
 
     @property
     def page_size(self) -> int:
-        return self.k_pages.shape[2]
+        return self.k_pages.shape[3]
 
     @property
     def n_pages(self) -> int:
@@ -136,16 +138,18 @@ class PagedKVCache:
 
     # -- reads -------------------------------------------------------------
     def gather_layer(self, layer: int) -> tuple[jax.Array, jax.Array]:
-        """Dense [B, S, H, D] view via block-table gather (fallback path;
+        """Dense [B, H, S, D] view via block-table gather (fallback path;
         the paged Pallas kernel avoids this materialization)."""
         B, maxp = self.page_table.shape
         ps = self.page_size
 
         def dense(pages, scale):
-            g = pages[layer][self.page_table]  # [B, maxp, ps, H, D]
-            g = g.reshape(B, maxp * ps, *g.shape[3:])
+            g = pages[layer][self.page_table]  # [B, maxp, H, ps, D]
+            H, D = g.shape[2], g.shape[4]
+            g = g.transpose(0, 2, 1, 3, 4).reshape(B, H, maxp * ps, D)
             if scale is not None:
-                sc = scale[layer][self.page_table].reshape(B, maxp * ps, -1)
+                sc = scale[layer][self.page_table]  # [B, maxp, H, ps]
+                sc = sc.transpose(0, 2, 1, 3).reshape(B, H, maxp * ps)
                 g = g.astype(jnp.bfloat16) * sc[..., None].astype(jnp.bfloat16)
             return g
 
@@ -156,52 +160,57 @@ class PagedKVCache:
         """k_new [B, 1, H, D] written at logical position index[b] of each
         sequence (physical slot via the block table)."""
         ps = self.page_size
+        H = self.k_pages.shape[2]
         page = jnp.take_along_axis(self.page_table, (index // ps)[:, None], axis=1)[:, 0]
         off = index % ps
+        pg = page[:, None]
+        h = jnp.arange(H)[None, :]
+        of = off[:, None]
         changes: dict[str, Any] = {}
         if self.quantized:
             qk, sk = self._quantize(k_new)
             qv, sv = self._quantize(v_new)
             changes = dict(
-                k_pages=self.k_pages.at[layer, page, off].set(qk[:, 0]),
-                v_pages=self.v_pages.at[layer, page, off].set(qv[:, 0]),
-                k_scale=self.k_scale.at[layer, page, off].set(sk[:, 0]),
-                v_scale=self.v_scale.at[layer, page, off].set(sv[:, 0]),
+                k_pages=self.k_pages.at[layer, pg, h, of].set(qk[:, 0]),
+                v_pages=self.v_pages.at[layer, pg, h, of].set(qv[:, 0]),
+                k_scale=self.k_scale.at[layer, pg, h, of].set(sk[:, 0]),
+                v_scale=self.v_scale.at[layer, pg, h, of].set(sv[:, 0]),
             )
         else:
             changes = dict(
-                k_pages=self.k_pages.at[layer, page, off].set(k_new[:, 0].astype(self.k_pages.dtype)),
-                v_pages=self.v_pages.at[layer, page, off].set(v_new[:, 0].astype(self.v_pages.dtype)),
+                k_pages=self.k_pages.at[layer, pg, h, of].set(k_new[:, 0].astype(self.k_pages.dtype)),
+                v_pages=self.v_pages.at[layer, pg, h, of].set(v_new[:, 0].astype(self.v_pages.dtype)),
             )
         return dataclasses.replace(self, **changes)
 
     def write_chunk(self, layer: int, start: jax.Array, k_new: jax.Array, v_new: jax.Array) -> "PagedKVCache":
         """Write a [B, T, H, D] chunk at uniform logical offset `start`
         (page-aligned starts recommended; used by direct paged prefill)."""
-        B, T = k_new.shape[:2]
+        B, T, H = k_new.shape[:3]
         ps = self.page_size
         pos = start + jnp.arange(T, dtype=jnp.int32)  # [T]
         page = jnp.take_along_axis(
             self.page_table, (pos // ps)[None].repeat(B, 0), axis=1
         )  # [B, T]
         off = (pos % ps)[None].repeat(B, 0)
-        b_idx = jnp.arange(B, dtype=jnp.int32)[:, None].repeat(T, 1)
+        pg = page[:, :, None]
+        h = jnp.arange(H)[None, None, :]
+        of = off[:, :, None]
         changes: dict[str, Any] = {}
         if self.quantized:
             qk, sk = self._quantize(k_new)
             qv, sv = self._quantize(v_new)
             changes = dict(
-                k_pages=self.k_pages.at[layer, page, off].set(qk),
-                v_pages=self.v_pages.at[layer, page, off].set(qv),
-                k_scale=self.k_scale.at[layer, page, off].set(sk),
-                v_scale=self.v_scale.at[layer, page, off].set(sv),
+                k_pages=self.k_pages.at[layer, pg, h, of].set(qk),
+                v_pages=self.v_pages.at[layer, pg, h, of].set(qv),
+                k_scale=self.k_scale.at[layer, pg, h, of].set(sk),
+                v_scale=self.v_scale.at[layer, pg, h, of].set(sv),
             )
         else:
             changes = dict(
-                k_pages=self.k_pages.at[layer, page, off].set(k_new.astype(self.k_pages.dtype)),
-                v_pages=self.v_pages.at[layer, page, off].set(v_new.astype(self.v_pages.dtype)),
+                k_pages=self.k_pages.at[layer, pg, h, of].set(k_new.astype(self.k_pages.dtype)),
+                v_pages=self.v_pages.at[layer, pg, h, of].set(v_new.astype(self.v_pages.dtype)),
             )
-        del b_idx
         return dataclasses.replace(self, **changes)
 
     def advance(self, n: jax.Array) -> "PagedKVCache":
@@ -213,17 +222,18 @@ class PagedKVCache:
         slot: jax.Array,  # scalar
         pages: jax.Array,  # i32 [n_assigned] physical ids (padded with 0s ok)
         n_pages_used: jax.Array,  # scalar count of valid entries in `pages`
-        k_seq: jax.Array,  # [L, T, H, D], T multiple of page_size
+        k_seq: jax.Array,  # [L, H, T, D], T multiple of page_size
         v_seq: jax.Array,
         length: jax.Array,  # scalar true token count
-        k_scale: jax.Array | None = None,
+        k_scale: jax.Array | None = None,  # [L, H, T]
         v_scale: jax.Array | None = None,
     ) -> "PagedKVCache":
-        L, T = k_seq.shape[:2]
+        L, H, T, D = k_seq.shape
         ps = self.page_size
         n = T // ps
-        k_c = k_seq.reshape(L, n, ps, *k_seq.shape[2:])
-        v_c = v_seq.reshape(L, n, ps, *v_seq.shape[2:])
+        # [L, H, T, D] -> [L, n, H, ps, D]
+        k_c = k_seq.reshape(L, H, n, ps, D).transpose(0, 2, 1, 3, 4)
+        v_c = v_seq.reshape(L, H, n, ps, D).transpose(0, 2, 1, 3, 4)
         # only the first n_pages_used chunks are real; scatter the rest to a
         # harmless target (page `pages[i]` repeated — overwritten later)
         changes: dict[str, Any] = dict(
@@ -236,10 +246,10 @@ class PagedKVCache:
         )
         if self.quantized:
             changes["k_scale"] = self.k_scale.at[:, pages[:n]].set(
-                k_scale.reshape(L, n, ps, -1)
+                k_scale.reshape(L, H, n, ps).transpose(0, 2, 1, 3)
             )
             changes["v_scale"] = self.v_scale.at[:, pages[:n]].set(
-                v_scale.reshape(L, n, ps, -1)
+                v_scale.reshape(L, H, n, ps).transpose(0, 2, 1, 3)
             )
         del n_pages_used
         return dataclasses.replace(self, **changes)

@@ -18,9 +18,10 @@ os.environ["GEMMA_TPU_INTERPRET_KERNELS"] = "1"
 
 
 def make_qkv(rng, B, T, S, Hq, Hkv, D):
+    # k/v use the cache-native [B, Hkv, S, D] layout
     q = jnp.asarray(rng.normal(size=(B, T, Hq, D)) * 0.3, jnp.bfloat16)
-    k = jnp.asarray(rng.normal(size=(B, S, Hkv, D)) * 0.3, jnp.bfloat16)
-    v = jnp.asarray(rng.normal(size=(B, S, Hkv, D)) * 0.3, jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)) * 0.3, jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)) * 0.3, jnp.bfloat16)
     return q, k, v
 
 

@@ -28,9 +28,10 @@ def make_paged(rng, B, Hkv, D, n_pages, ps, maxp, lengths, layers=1):
     # assign distinct physical pages per sequence, shuffled (page 0 = trash)
     perm = rng.permutation(n_pages - 1) + 1
     pt = np.zeros((B, maxp), np.int32)
-    k_dense = np.zeros((layers, B, maxp * ps, Hkv, D), np.float32)
+    # dense mirrors use the cache-native [.., Hkv, S, D] layout
+    k_dense = np.zeros((layers, B, Hkv, maxp * ps, D), np.float32)
     v_dense = np.zeros_like(k_dense)
-    kp = np.zeros((layers, n_pages, ps, Hkv, D), np.float32)
+    kp = np.zeros((layers, n_pages, Hkv, ps, D), np.float32)
     vp = np.zeros_like(kp)
     nxt = 0
     for b in range(B):
@@ -38,11 +39,11 @@ def make_paged(rng, B, Hkv, D, n_pages, ps, maxp, lengths, layers=1):
         for i in range(n_live):
             pg = int(perm[nxt]); nxt += 1
             pt[b, i] = pg
-            kc = rng.normal(size=(ps, Hkv, D)) * 0.3
-            vc = rng.normal(size=(ps, Hkv, D)) * 0.3
+            kc = rng.normal(size=(Hkv, ps, D)) * 0.3
+            vc = rng.normal(size=(Hkv, ps, D)) * 0.3
             kp[:, pg], vp[:, pg] = kc, vc
-            k_dense[:, b, i * ps : (i + 1) * ps] = kc
-            v_dense[:, b, i * ps : (i + 1) * ps] = vc
+            k_dense[:, b, :, i * ps : (i + 1) * ps] = kc
+            v_dense[:, b, :, i * ps : (i + 1) * ps] = vc
     cache = PagedKVCache(
         k_pages=jnp.asarray(kp, jnp.bfloat16),
         v_pages=jnp.asarray(vp, jnp.bfloat16),

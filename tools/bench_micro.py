@@ -81,7 +81,7 @@ def main():
 
     B, S = 1, 512
     q = jnp.zeros((B, 1, cfg.n_heads, cfg.head_dim), jnp.bfloat16)
-    k = jnp.zeros((B, S, cfg.n_kv_heads, cfg.head_dim), jnp.bfloat16)
+    k = jnp.zeros((B, cfg.n_kv_heads, S, cfg.head_dim), jnp.bfloat16)
     v = jnp.zeros_like(k)
     pos = jnp.full((B, 1), S - 1, jnp.int32)
     lim = jnp.full((B,), S, jnp.int32)
