@@ -139,6 +139,7 @@ class Keys:
     PAD_ID = "tokenizer.ggml.padding_token_id"
     ADD_BOS = "tokenizer.ggml.add_bos_token"
     ADD_EOS = "tokenizer.ggml.add_eos_token"
+    ADD_SPACE_PREFIX = "tokenizer.ggml.add_space_prefix"
 
 
 class TokenType(enum.IntEnum):

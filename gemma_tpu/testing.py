@@ -119,9 +119,9 @@ def make_params(
 
 def default_vocab(n: int) -> tuple[list[str], list[float], list[int]]:
     """SPM-style vocab: specials, byte-fallback tokens, then words."""
-    tokens = ["<pad>", "<bos>", "<eos>", "<unk>"]
-    types = [3, 3, 3, 2]
-    scores = [0.0, 0.0, 0.0, 0.0]
+    tokens = ["<pad>", "<bos>", "<eos>", "<unk>", "<start_of_turn>", "<end_of_turn>"]
+    types = [3, 3, 3, 2, 3, 3]
+    scores = [0.0] * 6
     for b in range(256):
         tokens.append(f"<0x{b:02X}>")
         types.append(6)

