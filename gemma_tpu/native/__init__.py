@@ -113,6 +113,12 @@ def dequantize(raw, t: GGMLType, shape: tuple[int, ...]) -> np.ndarray | None:
     return out.reshape(shape)
 
 
+def _wide(sc_u16: np.ndarray) -> np.ndarray:
+    """f16-bit scales from the C++ repacker -> exact f32 (qtensor layout v2
+    stores scales as f32; see quant/qtensor.py docstring)."""
+    return np.ascontiguousarray(sc_u16.view(np.float16).astype(np.float32))
+
+
 def repack(raw, t: GGMLType, shape: tuple[int, int]) -> dict[str, np.ndarray] | None:
     """GGUF payload -> K-major device arrays (qtensor.py layout); None on
     unsupported type / no native lib."""
@@ -126,12 +132,12 @@ def repack(raw, t: GGMLType, shape: tuple[int, int]) -> dict[str, np.ndarray] | 
         qs = np.empty((K // 2, N), np.uint8)
         sc = np.empty((K // 32, N), np.uint16)
         lib.gt_repack_q4_0(_ptr(buf, u8), N, K, _ptr(qs, u8), _ptr(sc, ctypes.c_uint16))
-        return {"qs": qs, "scales": sc}
+        return {"qs": qs, "scales": _wide(sc)}
     if t == GGMLType.Q8_0:
         qs = np.empty((K, N), np.int8)
         sc = np.empty((K // 32, N), np.uint16)
         lib.gt_repack_q8_0(_ptr(buf, u8), N, K, _ptr(qs, ctypes.c_int8), _ptr(sc, ctypes.c_uint16))
-        return {"qs": qs, "scales": sc}
+        return {"qs": qs, "scales": _wide(sc)}
     if t == GGMLType.Q4_K:
         qs = np.empty((K // 2, N), np.uint8)
         sc = np.empty((K // 32, N), np.uint16)
@@ -140,7 +146,7 @@ def repack(raw, t: GGMLType, shape: tuple[int, int]) -> dict[str, np.ndarray] | 
             _ptr(buf, u8), N, K, _ptr(qs, u8),
             _ptr(sc, ctypes.c_uint16), _ptr(off, ctypes.c_uint16),
         )
-        return {"qs": qs, "scales": sc, "offs": off}
+        return {"qs": qs, "scales": _wide(sc), "offs": _wide(off)}
     if t == GGMLType.Q6_K:
         qa = np.empty((K // 2, N), np.uint8)
         qb = np.empty((K // 2, N), np.uint8)
@@ -148,5 +154,5 @@ def repack(raw, t: GGMLType, shape: tuple[int, int]) -> dict[str, np.ndarray] | 
         lib.gt_repack_q6_k(
             _ptr(buf, u8), N, K, _ptr(qa, u8), _ptr(qb, u8), _ptr(sc, ctypes.c_uint16)
         )
-        return {"qa": qa, "qb": qb, "scales": sc}
+        return {"qa": qa, "qb": qb, "scales": _wide(sc)}
     return None

@@ -17,7 +17,9 @@ table in tools/bench_qmm_variants.py):
   — Mosaic fuses the broadcast into the multiply (a materialized [bk, bn]
   scale expansion measured ~8 % slower; bf16-domain multiplies ~35 %
   slower; batched per-group dots ~15 % slower — all kept in the variants
-  bench for re-measurement on new toolchains);
+  bench for re-measurement on new toolchains). Scales arrive as f32
+  (widened exactly from ggml's f16 at load): +11 % scale bytes but no
+  in-kernel f16-bit decode — measured net win at every decode shape;
 * grid is (M/bm, N/bn, K/bk), K sequential with an f32 VMEM accumulator;
   the zero-point is folded INTO the signed int4 payload for q4_0 (no
   correction term at all); q4_k's per-group affine offset enters as a
@@ -46,21 +48,6 @@ MIN_SUBLANE = 8
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
-
-
-def _decode_f16(u16: jax.Array) -> jax.Array:
-    """Exact f16-bits (uint16) -> f32 decode with integer ops.
-
-    Mosaic has no f16 vector type, so ggml's f16 scales travel as raw bits
-    and are rebiased here: normals get exponent+112 and mantissa<<13;
-    subnormals are mant * 2^-24. inf/nan never occur in valid scales."""
-    u = u16.astype(jnp.int32)
-    sign = jnp.where((u >> 15) & 1 == 1, -1.0, 1.0).astype(jnp.float32)
-    exp = (u >> 10) & 0x1F
-    mant = u & 0x3FF
-    normal = pltpu.bitcast(((exp + 112) << 23) | (mant << 13), jnp.float32)
-    sub = mant.astype(jnp.float32) * jnp.float32(2.0**-24)
-    return sign * jnp.where(exp == 0, sub, normal)
 
 
 def _group_scale(qf: jax.Array, scf: jax.Array) -> jax.Array:
@@ -97,14 +84,14 @@ def _q4_0_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, nsteps):
     # payload is already (q-8) as signed int4: no zero-point term at all
     _init_acc(acc_ref)
     w4 = pltpu.bitcast(qs_ref[...], jnp.int4)  # [bk, bn]
-    w = _group_scale(w4.astype(jnp.float32), _decode_f16(sc_ref[...]))
+    w = _group_scale(w4.astype(jnp.float32), sc_ref[...])
     _acc_step(acc_ref, x_ref[...].astype(jnp.bfloat16), w, nsteps, o_ref)
 
 
 def _q8_0_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, nsteps):
     _init_acc(acc_ref)
     qf = qs_ref[...].astype(jnp.int32).astype(jnp.float32)
-    w = _group_scale(qf, _decode_f16(sc_ref[...]))
+    w = _group_scale(qf, sc_ref[...])
     _acc_step(acc_ref, x_ref[...].astype(jnp.bfloat16), w, nsteps, o_ref)
 
 
@@ -113,9 +100,9 @@ def _q4_k_kernel(x_ref, xs_ref, qs_ref, sc_ref, off_ref, o_ref, acc_ref, *, nste
     # y += xsum32 @ offs (one small MXU dot) instead of a per-element add.
     _init_acc(acc_ref)
     w4 = pltpu.bitcast(qs_ref[...], jnp.int4)
-    w = _group_scale(w4.astype(jnp.float32), _decode_f16(sc_ref[...]))
+    w = _group_scale(w4.astype(jnp.float32), sc_ref[...])
     acc_ref[...] += jax.lax.dot_general(
-        xs_ref[...], _decode_f16(off_ref[...]),
+        xs_ref[...], off_ref[...],
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
     _acc_step(acc_ref, x_ref[...].astype(jnp.bfloat16), w, nsteps, o_ref)
@@ -126,7 +113,7 @@ def _q6_k_kernel(x_ref, qa_ref, qb_ref, sc_ref, o_ref, acc_ref, *, nsteps):
     _init_acc(acc_ref)
     a4 = pltpu.bitcast(qa_ref[...], jnp.int4).astype(jnp.float32)
     b4 = pltpu.bitcast(qb_ref[...], jnp.int4).astype(jnp.float32)
-    w = _group_scale(a4 * 8.0 + b4, _decode_f16(sc_ref[...]))
+    w = _group_scale(a4 * 8.0 + b4, sc_ref[...])
     _acc_step(acc_ref, x_ref[...].astype(jnp.bfloat16), w, nsteps, o_ref)
 
 
@@ -163,7 +150,10 @@ def _pick_bk(K: int, fmt: str) -> int | None:
 
 
 def _pick_bn(N: int) -> int | None:
-    for bn in (1024, 512, 256, 128):
+    # bn = N (up to 2048) makes each weight block a fully contiguous row
+    # span of the [K-granule, N] array — measured at the ffn_down decode
+    # shape: 31.5 us at bn=2048 vs 38.0 at bn=1024 (bench_qmm_variants)
+    for bn in (2048, 1024, 512, 256, 128):
         if N % bn == 0:
             return bn
     return None

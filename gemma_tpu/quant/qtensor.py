@@ -20,29 +20,33 @@ fused Pallas matmul (ops/quant_matmul.py):
   multiply per weight, no nibble shifts, no plane reordering (the round-1
   f32 extraction chain cost ~5 VPU ops/weight and capped decode at 37 % of
   the HBM roofline);
-* per-group metadata is flattened to one effective f16 scale per 32-group
-  (per-16 for q6_k): exact for q4_0/q8_0 (ggml stores d as f16); for
-  K-quants the f16 rounding of d*sc products is <= 2^-11 relative — three
-  orders below the 4-bit quantization noise itself. q4_k additionally
-  stores the per-group affine offset ``offs = 8*sc - min`` (rank-reduced in
-  the kernel to one xsum dot).
+* per-group metadata is flattened to one effective scale per 32-group
+  (per-16 for q6_k), stored as **f32** — the exact widening of ggml's f16
+  values (no precision change; for K-quants the one f16 rounding of d*sc
+  products is <= 2^-11 relative, three orders below the 4-bit quantization
+  noise). f32 costs ~11 % more HBM bytes than raw f16 bits but removes the
+  10-integer-op in-kernel f16 decode Mosaic would otherwise need (it has no
+  f16 vector type) — measured net win at every decode shape
+  (tools/bench_qmm_variants.py: ffn_down 38.0 -> 31.5 us). q4_k
+  additionally stores the per-group affine offset ``offs = 8*sc - min``
+  (rank-reduced in the kernel to one xsum dot).
 
 Device formats (logical tensor is [N, K] = [out, in], ggml row-major):
 
 ====== ============================================================ ======
 fmt    arrays                                                        bpw
 ====== ============================================================ ======
-q4_0   qs u8 [K/2, N] (signed q-8 pairs), scales f16 [K/32, N]       4.5
-q8_0   qs i8 [K, N],   scales f16 [K/32, N]                          8.5
-q4_k   qs u8 [K/2, N] (signed q-8 pairs), scales f16 [K/32, N],
-       offs f16 [K/32, N]                                            5.0
+q4_0   qs u8 [K/2, N] (signed q-8 pairs), scales f32 [K/32, N]       5.0
+q8_0   qs i8 [K, N],   scales f32 [K/32, N]                          9.0
+q4_k   qs u8 [K/2, N] (signed q-8 pairs), scales f32 [K/32, N],
+       offs f32 [K/32, N]                                            6.0
 q6_k   qa u8 [K/2, N] (signed hi-3 pairs: a = (q-32)>>3),
        qb u8 [K/2, N] (low-3 pairs: b = q-32-8a, in [0,7]),
-       scales f16 [K/16, N]; w = (8a+b)*sc                           9.125
+       scales f32 [K/16, N]; w = (8a+b)*sc                          10.0
 ====== ============================================================ ======
 
-(q6_k trades +29 % bytes for the int4 fast path — it decorates a small
-minority of tensors in K-quant exports.)
+(q6_k trades bytes for the int4 fast path — it decorates a small minority
+of tensors in K-quant exports.)
 """
 from __future__ import annotations
 
@@ -57,18 +61,14 @@ from ..gguf.constants import GGMLType
 from . import numpy_ref
 
 QGROUP = 32  # fine-grain scale group (ggml QK4_0/QK8_0 block size)
-# Scales are ggml f16 values stored as raw bits in uint16: Mosaic has no f16
-# vector type, so kernels decode f16->f32 with integer ops (exact); the XLA
-# path uses lax.bitcast_convert_type.
-SCALE_DTYPE = np.uint16
+# Scales are ggml f16 values widened exactly to f32 at load (see module
+# docstring for the bytes-vs-VPU tradeoff).
+SCALE_DTYPE = np.float32
 
 
 def store_f16(x: np.ndarray) -> np.ndarray:
-    return np.ascontiguousarray(x.astype(np.float16).view(np.uint16))
-
-
-def f16_bits_to_f32(u16: jax.Array) -> jax.Array:
-    return jax.lax.bitcast_convert_type(u16, jnp.float16).astype(jnp.float32)
+    """Round to ggml's f16 scale grid, store as exact f32."""
+    return np.ascontiguousarray(x.astype(np.float16).astype(np.float32))
 
 
 # payload array + K-rows-per-payload-row, per format (shape derivation)
@@ -257,20 +257,20 @@ def dequant_t(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     a = qt.arrays
     if qt.fmt == "q8_0":
         q = a["qs"].astype(jnp.float32).reshape(K // 32, 32, N)
-        sc = f16_bits_to_f32(a["scales"])
+        sc = a["scales"]
         x = (q * sc[:, None, :]).reshape(K, N)
     elif qt.fmt in ("q4_0", "q4_k"):
         q = _unpack_signed_pairs(a["qs"]).astype(jnp.float32)
-        sc = f16_bits_to_f32(a["scales"])  # [K/32, N]
+        sc = a["scales"]  # f32 [K/32, N]
         x = (q.reshape(K // 32, 32, N) * sc[:, None, :]).reshape(K, N)
         if qt.fmt == "q4_k":
-            off = f16_bits_to_f32(a["offs"])
+            off = a["offs"]
             x = (x.reshape(K // 32, 32, N) + off[:, None, :]).reshape(K, N)
     elif qt.fmt == "q6_k":
         av = _unpack_signed_pairs(a["qa"]).astype(jnp.float32)
         bv = _unpack_signed_pairs(a["qb"]).astype(jnp.float32)
         q = av * 8.0 + bv
-        sc = f16_bits_to_f32(a["scales"])  # [K/16, N]
+        sc = a["scales"]  # f32 [K/16, N]
         x = (q.reshape(K // 16, 16, N) * sc[:, None, :]).reshape(K, N)
     else:
         raise NotImplementedError(qt.fmt)

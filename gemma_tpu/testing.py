@@ -71,8 +71,8 @@ def make_params(
             return rng.integers(-100, 100, size=shape, dtype=np.int8).view(dtype)
 
         def scales(shape):
-            # stored as raw f16 bits in uint16 (see qtensor.SCALE_DTYPE)
-            return (rng.uniform(0.5, 1.0, size=shape) * 0.01).astype(np.float16).view(np.uint16)
+            # f16-grid values widened to f32 (see qtensor.SCALE_DTYPE)
+            return (rng.uniform(0.5, 1.0, size=shape) * 0.01).astype(np.float16).astype(np.float32)
 
         # device layout is K-major: arrays are [K-granule, N] (see qtensor.py)
         if fmt == "q4_0":

@@ -50,9 +50,10 @@ def test_qtensor_is_pytree(rng):
 
 
 def test_nbytes_budget(rng):
-    # Q4_0 device layout must stay at ggml's 4.5 bits/weight (nibbles + f16
-    # group scales).
+    # Q4_0 device layout: 4-bit nibbles + f32 group scales = 5.0 bits/weight
+    # (ggml's raw 4.5 + the deliberate f16->f32 scale widening, see
+    # qtensor.py docstring for the measured bytes-vs-VPU tradeoff).
     x = rng.normal(size=(64, 4096)).astype(np.float32)
     qt = quantize_array(x, "q4_0")
     bits_per_weight = qt.nbytes() * 8 / x.size
-    assert bits_per_weight == pytest.approx(4.5, abs=0.01)
+    assert bits_per_weight == pytest.approx(5.0, abs=0.01)

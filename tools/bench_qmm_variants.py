@@ -191,12 +191,14 @@ def measure(N, K, mode, sc_dtype, bk, bn, reps=5, r=48):
 def main():
     shapes = [("ffn_down", 2048, 16384), ("gate_up", 32768, 2048)]
     configs = [
-        ("rsc", jnp.uint16, 1024, 1024),
-        ("rsc", jnp.uint16, 2048, 1024),
-        ("rsc", jnp.uint16, 1024, 2048),
-        ("rscb", jnp.uint16, 1024, 1024),
-        ("noscale", jnp.float32, 2048, 1024),
-        ("noscale", jnp.float32, 1024, 2048),
+        ("stream", jnp.uint16, 2048, 1024),   # HBM ceiling for these bytes
+        ("rsc", jnp.uint16, 2048, 1024),      # current production kernel
+        ("rsc", jnp.float32, 2048, 1024),     # f32 scales: +11% bytes, no f16 decode
+        ("rsc", jnp.float32, 2048, 2048),
+        ("rsc", jnp.uint16, 4096, 1024),
+        ("rscb", jnp.uint16, 2048, 1024),
+        ("gdot", jnp.float32, 2048, 1024),    # batched per-group dots
+        ("noscale", jnp.float32, 2048, 1024), # scale-mul cost isolation
     ]
     only = sys.argv[1] if len(sys.argv) > 1 else None
     print(f"device: {jax.devices()[0].device_kind}, M={M}, CH={CH}")
