@@ -128,13 +128,19 @@ class Engine:
         prof.add_count("tokens.decoded", n_steps * batch)
 
     # -- cache -------------------------------------------------------------
-    def new_cache(self, batch: int | None = None):
+    def new_cache(self, batch: int | None = None, *, identity_pages: bool = True):
+        """`identity_pages` (paged mode only): give each slot a private page
+        range so direct prefill/generate works out of the box. The scheduler
+        passes False — it installs per-slot tables via the PageAllocator and
+        needs inactive slots parked on the trash page (a fresh all-zeros
+        table would otherwise alias pages the allocator hands out)."""
         batch = batch or self.ecfg.max_batch
         if self.ecfg.paged:
             from .paged_kv import PagedKVCache
 
+            # +1: page 0 is the reserved trash page
             n_pages = self.ecfg.n_pages or (
-                batch * self.ecfg.max_seq_len // self.ecfg.page_size
+                batch * self.ecfg.max_seq_len // self.ecfg.page_size + 1
             )
             return PagedKVCache.create(
                 self.cfg, batch, n_pages,
@@ -142,6 +148,7 @@ class Engine:
                 max_seq_len=self.ecfg.max_seq_len,
                 dtype=self.ecfg.kv_dtype,
                 quantized=self.ecfg.kv_quantized,
+                identity_layout=identity_pages,
             )
         return KVCache.create(
             self.cfg, batch, self.ecfg.max_seq_len,

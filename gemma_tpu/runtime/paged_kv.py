@@ -91,9 +91,25 @@ class PagedKVCache:
         max_seq_len: int | None = None,
         dtype=jnp.bfloat16,
         quantized: bool = False,
+        identity_layout: bool = False,
     ) -> "PagedKVCache":
+        """`identity_layout=True` pre-assigns each slot a private contiguous
+        page range (slot b -> pages 1 + b*maxp .. 1 + (b+1)*maxp - 1), so the
+        cache is usable directly by `Engine.prefill`/`generate` without a
+        `PageAllocator`. The default all-zeros table points every write at
+        the trash page — correct ONLY for scheduler-managed caches where
+        `insert_sequence` installs real tables at admission."""
         maxp = (max_seq_len or config.context_length) // page_size
         shape = (config.n_layers, n_pages, config.n_kv_heads, page_size, config.head_dim)
+        if identity_layout:
+            if n_pages < batch * maxp + 1:
+                raise ValueError(
+                    f"identity_layout needs n_pages >= batch*max_pages+1 = "
+                    f"{batch * maxp + 1}, got {n_pages}"
+                )
+            page_table = 1 + jnp.arange(batch * maxp, dtype=jnp.int32).reshape(batch, maxp)
+        else:
+            page_table = jnp.zeros((batch, maxp), jnp.int32)
         kw = {}
         if quantized:
             kw = dict(
@@ -103,7 +119,7 @@ class PagedKVCache:
         return cls(
             k_pages=jnp.zeros(shape, jnp.int8 if quantized else dtype),
             v_pages=jnp.zeros(shape, jnp.int8 if quantized else dtype),
-            page_table=jnp.zeros((batch, maxp), jnp.int32),
+            page_table=page_table,
             length=jnp.zeros(batch, jnp.int32),
             **kw,
         )

@@ -63,7 +63,10 @@ class Scheduler:
         self.sampling = sampling
         self.on_token = on_token
         self.max_batch = engine.ecfg.max_batch
-        self.cache = engine.new_cache(self.max_batch)
+        # trash-page layout: every slot parks on page 0 until admission
+        # installs its allocator-assigned table (identity layout would alias
+        # the allocator's free pages)
+        self.cache = engine.new_cache(self.max_batch, identity_pages=False)
         self.allocator = None
         self._slot_pages: dict[int, list[int]] = {}
         if engine.ecfg.paged:
@@ -151,26 +154,68 @@ class Scheduler:
             hit_eos = req.eos_id is not None and t == req.eos_id
             full = len(req.prompt) + len(req.tokens) >= self.engine.ecfg.max_seq_len
             if hit_eos or full or len(req.tokens) >= req.max_new_tokens:
-                req.finished_at = now
-                self.finished.append(req)
-                del self.active[slot]  # slot freed; cache row overwritten on admit
-                if self.allocator is not None and slot in self._slot_pages:
-                    # stale decode writes of this slot must not touch pages
-                    # that get re-allocated: retarget its table to the trash
-                    # page before releasing
-                    self.cache = dataclasses.replace(
-                        self.cache,
-                        page_table=self.cache.page_table.at[slot].set(0),
-                        length=self.cache.length.at[slot].set(0),
-                    )
-                    self.allocator.release(self._slot_pages.pop(slot))
+                self._finish(slot, req, now)
         return emitted
 
-    def run(self, max_steps: int | None = None) -> list[Request]:
-        """Drive until all submitted work completes; returns finished reqs."""
+    def step_block(self, n: int) -> list[tuple[str, int]]:
+        """Admit, then run `n` fused decode steps with ONE host sync at the
+        end (the engine's unrolled block program). Amortizes the per-dispatch
+        host round-trip — through a remote-attached accelerator a per-tick
+        sync costs more than the decode compute itself. Trade-off: slots are
+        only freed (and new requests admitted) every `n` tokens, and a
+        sequence hitting EOS mid-block decodes a few discarded tokens (their
+        cache writes land in its own slot, which is reset on re-admission).
+        """
+        self._admit()
+        if not self.active:
+            return []
+        tb, self._logits, self.cache, self.key = self.engine._block(
+            self.engine.params, self._logits, self.key, self.cache,
+            sampling=self.sampling, n=n,
+        )
+        tok_np = np.asarray(tb)  # [B, n]
+        now = time.monotonic()
+        emitted: list[tuple[str, int]] = []
+        self._steps += n
+        for slot, req in list(self.active.items()):
+            for j in range(n):
+                t = int(tok_np[slot, j])
+                if req.first_token_at is None:
+                    req.first_token_at = now
+                req.tokens.append(t)
+                emitted.append((req.id, t))
+                if self.on_token is not None:
+                    self.on_token(req, t)
+                hit_eos = req.eos_id is not None and t == req.eos_id
+                full = len(req.prompt) + len(req.tokens) >= self.engine.ecfg.max_seq_len
+                if hit_eos or full or len(req.tokens) >= req.max_new_tokens:
+                    self._finish(slot, req, now)
+                    break
+        return emitted
+
+    def _finish(self, slot: int, req: Request, now: float) -> None:
+        req.finished_at = now
+        self.finished.append(req)
+        del self.active[slot]  # slot freed; cache row overwritten on admit
+        if self.allocator is not None and slot in self._slot_pages:
+            # stale decode writes of this slot must not touch pages that get
+            # re-allocated: retarget its table to the trash page first
+            self.cache = dataclasses.replace(
+                self.cache,
+                page_table=self.cache.page_table.at[slot].set(0),
+                length=self.cache.length.at[slot].set(0),
+            )
+            self.allocator.release(self._slot_pages.pop(slot))
+
+    def run(self, max_steps: int | None = None, block: int = 1) -> list[Request]:
+        """Drive until all submitted work completes; returns finished reqs.
+        `block` > 1 decodes in fused multi-token blocks (see step_block)."""
         steps = 0
         while (self.pending or self.active) and (max_steps is None or steps < max_steps):
-            self.step()
+            if block > 1:
+                self.step_block(block)
+            else:
+                self.step()
             steps += 1
         return self.finished
 

@@ -87,6 +87,39 @@ def test_paged_slot_reuse_no_corruption(model):
     assert by_id["long"] == dense.generate([[1, 44, 260, 9, 77]], 10)[0]
 
 
+def test_direct_paged_generate_matches_dense(model):
+    """Engine.generate on a paged engine WITHOUT a scheduler: new_cache must
+    hand out a real per-slot page layout. Regression: a fresh all-zeros page
+    table routed every prefill/decode write to the trash page, silently
+    producing attention over garbage."""
+    cfg, params = model
+    dense = Engine(cfg, params, EngineConfig(max_seq_len=64, max_batch=2, donate_cache=False))
+    paged = Engine(
+        cfg, params,
+        EngineConfig(max_seq_len=64, max_batch=2, donate_cache=False,
+                     paged=True, page_size=16),
+    )
+    prompts = [[1, 7, 300], [1, 44, 260, 9, 77]]
+    assert paged.generate(prompts, 8) == dense.generate(prompts, 8)
+    # fused path too (covers the unrolled block program over paged writes)
+    np.testing.assert_array_equal(
+        paged.generate_fused(prompts, 8), dense.generate_fused(prompts, 8)
+    )
+
+
+def test_identity_layout_rejects_small_pool(model):
+    cfg, params = model
+    eng = Engine(
+        cfg, params,
+        EngineConfig(max_seq_len=64, max_batch=2, donate_cache=False,
+                     paged=True, page_size=16, n_pages=6),
+    )
+    with pytest.raises(ValueError, match="identity_layout"):
+        eng.new_cache(2)
+    # trash layout (scheduler mode) is fine with any pool size
+    eng.new_cache(2, identity_pages=False)
+
+
 def test_paged_int8_kv(model):
     cfg, params = model
     eng = Engine(

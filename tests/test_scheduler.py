@@ -81,6 +81,37 @@ def test_oversized_prompt_rejected(engine):
     assert finished[0].tokens == []
 
 
+def test_blocked_stepping_matches_per_token(engine):
+    """step_block(n) emits the same tokens as per-token stepping; extra
+    mid-block tokens after EOS/max_new are discarded, and freed slots are
+    re-admitted cleanly on the next block boundary."""
+    def run(block):
+        sched = Scheduler(engine)
+        for rid, p in PROMPTS.items():
+            # staggered lengths so finishes land mid-block
+            sched.submit(Request(rid, p, max_new_tokens=5 + (len(p) % 3)))
+        sched.run(block=block)
+        return {r.id: r.tokens for r in sched.finished}
+
+    assert run(4) == run(1)
+
+
+def test_blocked_stepping_paged(engine):
+    paged = Engine(
+        engine.cfg, engine.params,
+        EngineConfig(max_seq_len=64, max_batch=3, donate_cache=False,
+                     paged=True, page_size=16),
+    )
+    def run(eng, block):
+        sched = Scheduler(eng)
+        for rid, p in PROMPTS.items():
+            sched.submit(Request(rid, p, max_new_tokens=6))
+        sched.run(block=block)
+        return {r.id: r.tokens for r in sched.finished}
+
+    assert run(paged, 4) == run(engine, 1)
+
+
 def test_stats(engine):
     sched = Scheduler(engine)
     for rid in ("a", "b"):
