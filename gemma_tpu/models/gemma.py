@@ -113,6 +113,14 @@ def decoder_layer(
         attn = paged_decode_attention(
             q, cache, layer_idx, kv_limit, cfg.attn_softcap, window
         )
+    elif getattr(cache, "quantized", False) and not hasattr(cache, "page_table"):
+        # int8 cache: hand raw pages + scales to the attention dispatch so
+        # the decode kernel reads int8 in place (no dequantized HBM copy)
+        attn = attention(
+            q, cache.k[layer_idx], cache.v[layer_idx], positions, kv_limit,
+            cfg.attn_softcap, window=window,
+            k_scale=cache.k_scale[layer_idx], v_scale=cache.v_scale[layer_idx],
+        )
     else:
         kc, vc = cache.gather_layer(layer_idx)
         attn = attention(
@@ -196,6 +204,10 @@ def forward(
     record("result_norm", x)
     # Tied output head: logits = x @ embed.T (reference: gemma_model.cpp:163)
     logits = linear(x, params.get("output", params["embed"]), out_dtype=jnp.float32)
+    if tp_axis is None and logits.shape[-1] != cfg.vocab_size:
+        # drop vocab-padding rows (params.py pad_vocab); under tp the local
+        # shard keeps the padding — callers slice after the all-gather
+        logits = logits[..., : cfg.vocab_size]
     if cfg.final_softcap:
         logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
     record("result_output", logits)

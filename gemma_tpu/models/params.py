@@ -89,13 +89,23 @@ def load_params(
     lets the parallel layer place each array shard-by-shard as it streams
     off the mmap (host never holds more than one tensor densely)."""
     cfg = GemmaConfig.from_gguf(reader)
+
+    def pad_vocab(w):
+        # quantized head/embedding: pad N to a 2048 multiple so the lm_head
+        # kernel tiles at bn=2048 (see GemmaConfig.padded_vocab_size)
+        if isinstance(w, QTensor):
+            from ..quant.qtensor import pad_rows
+
+            return pad_rows(w, cfg.padded_vocab_size)
+        return w
+
     params: dict[str, Any] = {
-        "embed": _load_tensor(reader, "token_embd.weight", mode),
+        "embed": pad_vocab(_load_tensor(reader, "token_embd.weight", mode)),
         "final_norm": _load_tensor(reader, "output_norm.weight", mode, is_norm=True),
         "layers": [],
     }
     if "output.weight" in reader.tensors:
-        params["output"] = _load_tensor(reader, "output.weight", mode)
+        params["output"] = pad_vocab(_load_tensor(reader, "output.weight", mode))
     for i in range(cfg.n_layers):
         lp = {}
         for t in LAYER_TENSORS:

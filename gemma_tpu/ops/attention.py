@@ -81,8 +81,8 @@ def sdpa_xla(
 # ---------------------------------------------------------------------------
 
 def _flash_kernel(
-    pos0_ref,  # SMEM [B, 1] absolute position of each batch row's first query
     lim_ref,  # SMEM [B, 1] kv_limit per batch row
+    qpos_ref,  # VMEM [1, bq, 1] absolute position of each query row
     q_ref,  # [1, 1, bq, D]
     k_ref,  # [1, 1, bs, D]
     v_ref,  # [1, 1, bs, D]
@@ -105,18 +105,19 @@ def _flash_kernel(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     bq, D = q_ref.shape[2], q_ref.shape[3]
-    # query rows are consecutive absolute positions starting at
-    # pos0 + tq*bq (flash_supported enforces consecutiveness)
+    # per-row absolute query positions, [bq, 1] (the [B, T, 1] layout makes
+    # the lane-1 block reshape straight onto the sublane axis — no transpose,
+    # no consecutive-positions contract)
+    qp = qpos_ref[0]  # [bq, 1] i32
     b = pl.program_id(0)
-    tile_pos0 = pos0_ref[b, 0] + pl.program_id(2) * bq
     limit = lim_ref[b, 0]
 
     # tile-level skip: any key in this tile valid for any query row?
     s_start = s_idx * block_s
-    max_pos = tile_pos0 + bq - 1
+    max_pos = jnp.max(qp)
     tile_live = (s_start <= max_pos) & (s_start < limit)
     if window > 0:  # tile entirely older than every query's window?
-        tile_live &= s_start + block_s - 1 >= max_pos - (bq - 1) - window + 1
+        tile_live &= s_start + block_s - 1 >= jnp.min(qp) - window + 1
 
     @pl.when(tile_live)
     def _():
@@ -128,10 +129,9 @@ def _flash_kernel(
         if attn_softcap:
             s = attn_softcap * jnp.tanh(s / attn_softcap)
         key_pos = s_start + jax.lax.broadcasted_iota(jnp.int32, (bq, block_s), 1)
-        qpos = tile_pos0 + jax.lax.broadcasted_iota(jnp.int32, (bq, block_s), 0)
-        mask = (key_pos <= qpos) & (key_pos < limit)
+        mask = (key_pos <= qp) & (key_pos < limit)
         if window > 0:
-            mask &= key_pos > qpos - window
+            mask &= key_pos > qp - window
         s = jnp.where(mask, s, MASK_VALUE)
 
         m_prev = m_scr[...][:, :1]  # [bq, 1]
@@ -183,7 +183,7 @@ def _flash_call(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, h, tq, sk: (b, tq, 0)),
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, tq, sk: (b, h, tq, 0)),
             pl.BlockSpec((1, 1, block_s, D), lambda b, h, tq, sk: (b, h // G, sk, 0)),
             pl.BlockSpec((1, 1, block_s, D), lambda b, h, tq, sk: (b, h // G, sk, 0)),
@@ -200,24 +200,21 @@ def _flash_call(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(positions[:, :1], kv_limit.reshape(B, 1), q_bhtd, k_bhsd, v_bhsd)
+    )(kv_limit.reshape(B, 1), positions[:, :, None], q_bhtd, k_bhsd, v_bhsd)
     return out
 
 
-def flash_supported(T: int, S: int, D: int, positions_consecutive: bool = True) -> bool:
-    return (
-        T % DEFAULT_BLOCK_Q == 0
-        and S % DEFAULT_BLOCK_S == 0
-        and D % NUM_LANES == 0
-        and positions_consecutive
-    )
+def flash_supported(T: int, S: int, D: int) -> bool:
+    # positions are passed per-row into the kernel, so arbitrary (even
+    # non-consecutive) query positions are handled — no caller contract
+    return T % DEFAULT_BLOCK_Q == 0 and S % DEFAULT_BLOCK_S == 0 and D % NUM_LANES == 0
 
 
 def flash_attention(
     q: jax.Array,  # [B, T, Hq, D] scaled
     k: jax.Array,  # [B, Hkv, S, D] (cache layout)
     v: jax.Array,
-    positions: jax.Array,  # [B, T] (consecutive per row for tile-skip)
+    positions: jax.Array,  # [B, T] absolute query positions (arbitrary)
     kv_limit: jax.Array,  # [B]
     attn_softcap: float = 0.0,
     window: int = 0,
@@ -239,23 +236,30 @@ def flash_attention(
 # those small launches cost more than the KV stream itself. S-tiled with a
 # validity skip, so a long cache only streams its live prefix (an 8K cache
 # at position 500 reads 3 tiles, not 32) and VMEM never bounds S.
+#
+# int8-KV mode reads quantized tiles IN PLACE: the per-(position, head)
+# scales commute through both dots — s = (q · k8ᵀ) * ks and
+# out = (p * vs) @ v8 — so no dequantized copy ever exists (in HBM or
+# VMEM) and int8 halves the cache stream, as config 3 promises. The scale
+# rows arrive as [1, bs] lane vectors, broadcast against [G, bs] scores.
 # ---------------------------------------------------------------------------
 
 def _decode_kernel(
     lim_ref,  # SMEM [B, 1]
     q_ref,  # [1, 1, G, D]
-    k_ref,  # [1, 1, bs, D]
+    k_ref,  # [1, 1, bs, D] (bf16, or int8 when quantized)
     v_ref,  # [1, 1, bs, D]
-    o_ref,  # [1, 1, G, D]
-    m_scr,  # VMEM [G, NUM_LANES]
-    l_scr,  # VMEM [G, NUM_LANES]
-    acc_scr,  # VMEM [G, D]
-    *,
+    *rest,  # quantized: ks_ref [1, 1, bs], vs_ref [1, 1, bs], then outputs
     n_s_tiles: int,
     block_s: int,
     window: int,
     attn_softcap: float,
+    quantized: bool = False,
 ):
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest
     s_idx = pl.program_id(2)
 
     @pl.when(s_idx == 0)
@@ -276,8 +280,11 @@ def _decode_kernel(
         k = k_ref[0, 0]  # [bs, D]
         G = q.shape[0]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k.astype(q.dtype) if quantized else k,
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         )  # [G, bs]
+        if quantized:
+            s = s * ks_ref[0]  # [1, bs] per-position K scales
         if attn_softcap:
             s = attn_softcap * jnp.tanh(s / attn_softcap)
         col = s_start + jax.lax.broadcasted_iota(jnp.int32, (G, block_s), 1)
@@ -297,6 +304,9 @@ def _decode_kernel(
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
         v_t = v_ref[0, 0]  # [bs, D]
+        if quantized:
+            p = p * vs_ref[0]  # fold per-position V scales into p
+            v_t = v_t.astype(jnp.bfloat16)
         pv = jax.lax.dot_general(
             p.astype(v_t.dtype), v_t, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -313,23 +323,31 @@ def _decode_kernel(
 @functools.partial(
     jax.jit, static_argnames=("block_s", "window", "attn_softcap", "interpret")
 )
-def _decode_call(q_bhgd, k, v, kv_limit, block_s, window, attn_softcap, interpret):
+def _decode_call(
+    q_bhgd, k, v, k_scale, v_scale, kv_limit, block_s, window, attn_softcap, interpret
+):
     B, Hkv, G, D = q_bhgd.shape
     S = k.shape[2]
     n_s = S // block_s
+    quantized = k_scale is not None
     kernel = functools.partial(
         _decode_kernel, n_s_tiles=n_s, block_s=block_s,
-        window=window, attn_softcap=attn_softcap,
+        window=window, attn_softcap=attn_softcap, quantized=quantized,
     )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, G, D), lambda b, h, sk: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, block_s, D), lambda b, h, sk: (b, h, sk, 0)),
+        pl.BlockSpec((1, 1, block_s, D), lambda b, h, sk: (b, h, sk, 0)),
+    ]
+    inputs = [kv_limit.reshape(B, 1), q_bhgd, k, v]
+    if quantized:
+        in_specs += [pl.BlockSpec((1, 1, block_s), lambda b, h, sk: (b, h, sk))] * 2
+        inputs += [k_scale, v_scale]
     out = pl.pallas_call(
         kernel,
         grid=(B, Hkv, n_s),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, G, D), lambda b, h, sk: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, block_s, D), lambda b, h, sk: (b, h, sk, 0)),
-            pl.BlockSpec((1, 1, block_s, D), lambda b, h, sk: (b, h, sk, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, sk: (b, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), jnp.float32),
         scratch_shapes=[
@@ -341,7 +359,7 @@ def _decode_call(q_bhgd, k, v, kv_limit, block_s, window, attn_softcap, interpre
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(kv_limit.reshape(B, 1), q_bhgd, k, v)
+    )(*inputs)
     return out
 
 
@@ -350,11 +368,13 @@ MIN_DECODE_G = 8
 
 def decode_attention(
     q: jax.Array,  # [B, 1, Hq, D] scaled
-    k: jax.Array,  # [B, Hkv, S, D] (cache layout)
+    k: jax.Array,  # [B, Hkv, S, D] (cache layout; int8 when quantized)
     v: jax.Array,
     kv_limit: jax.Array,  # [B]; the query is at position kv_limit-1
     attn_softcap: float = 0.0,
     window: int = 0,
+    k_scale: jax.Array | None = None,  # [B, Hkv, S] f32 (int8 mode)
+    v_scale: jax.Array | None = None,
 ) -> jax.Array:
     B, T, Hq, D = q.shape
     Hkv, S = k.shape[1], k.shape[2]
@@ -365,10 +385,10 @@ def decode_attention(
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
     block_s = DECODE_BLOCK_S if S % DECODE_BLOCK_S == 0 else S
     out = _decode_call(
-        qg, k, v, kv_limit.astype(jnp.int32),
+        qg, k, v, k_scale, v_scale, kv_limit.astype(jnp.int32),
         block_s, int(window), float(attn_softcap), _interpret(),
     )
-    return out[:, :, :G].reshape(B, 1, Hq, D).astype(q.dtype)
+    return out[:, :, :G].reshape(B, 1, Hq, D).astype(jnp.bfloat16)
 
 
 def decode_supported(T: int, S: int, Hq: int, Hkv: int, D: int) -> bool:
@@ -382,21 +402,33 @@ def decode_supported(T: int, S: int, Hq: int, Hkv: int, D: int) -> bool:
 
 def attention(
     q: jax.Array,  # [B, T, Hq, D] scaled
-    k: jax.Array,  # [B, Hkv, S, D] (cache layout)
+    k: jax.Array,  # [B, Hkv, S, D] (cache layout; int8 when scales given)
     v: jax.Array,
     positions: jax.Array,
     kv_limit: jax.Array,
     attn_softcap: float = 0.0,
     window: int = 0,
+    k_scale: jax.Array | None = None,  # [B, Hkv, S] int8-KV scales
+    v_scale: jax.Array | None = None,
 ) -> jax.Array:
     """Dispatch: flash kernel for tile-compatible prefill shapes, fused
-    S-tiled decode kernel for T=1, XLA fallback otherwise (odd shapes, CPU)."""
+    S-tiled decode kernel for T=1, XLA fallback otherwise (odd shapes, CPU).
+
+    With `k_scale`/`v_scale`, k/v are int8 and the decode kernel reads them
+    in place (halving the cache stream); non-decode shapes dequantize once
+    and take the normal path (prefill reads the cache once anyway)."""
     B, T, Hq, D = q.shape
     Hkv, S = k.shape[1], k.shape[2]
     use_interpret = os.environ.get("GEMMA_TPU_INTERPRET_KERNELS") == "1"
     on_kernel_path = not _interpret() or use_interpret
     if on_kernel_path and decode_supported(T, S, Hq, Hkv, D):
-        return decode_attention(q, k, v, kv_limit, attn_softcap, window)
+        return decode_attention(
+            q, k, v, kv_limit, attn_softcap, window,
+            k_scale=k_scale, v_scale=v_scale,
+        )
+    if k_scale is not None:  # non-decode shapes: dequantize once
+        k = k.astype(jnp.bfloat16) * k_scale[..., None].astype(jnp.bfloat16)
+        v = v.astype(jnp.bfloat16) * v_scale[..., None].astype(jnp.bfloat16)
     if on_kernel_path and flash_supported(T, S, D) and Hq % Hkv == 0:
         return flash_attention(q, k, v, positions, kv_limit, attn_softcap, window)
     return sdpa_xla(q, k, v, positions, kv_limit, attn_softcap, window)

@@ -46,18 +46,23 @@ def _paged_kernel(
     pt_ref,  # scalar-prefetch: i32 [B, maxp]
     lim_ref,  # scalar-prefetch: i32 [B]
     q_ref,  # [1, 1, G, D]
-    k_ref,  # [1, 1, ps, D]
+    k_ref,  # [1, 1, ps, D] (bf16, or int8 when quantized)
     v_ref,  # [1, 1, ps, D]
-    o_ref,  # [1, 1, G, D]
-    m_scr,  # VMEM [G, NUM_LANES]
-    l_scr,  # VMEM [G, NUM_LANES]
-    acc_scr,  # VMEM [G, D]
-    *,
+    *rest,  # quantized: ks_ref [1, 1, ps], vs_ref [1, 1, ps], then outputs
     ps: int,
     n_pages: int,
     attn_softcap: float,
     window: int,
+    quantized: bool = False,
 ):
+    # int8 pages are read IN PLACE: per-position scales commute through both
+    # dots — s = (q · k8ᵀ) * ks, out = (p * vs) @ v8 — so no dequantized
+    # copy of the pool ever exists (the round-2 gather_layer fallback
+    # tripled traffic; this halves it vs bf16).
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest
     b, i = pl.program_id(0), pl.program_id(2)
 
     @pl.when(i == 0)
@@ -78,8 +83,11 @@ def _paged_kernel(
         k = k_ref[0, 0]  # [ps, D]
         G = q.shape[0]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k.astype(q.dtype) if quantized else k,
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         )  # [G, ps]
+        if quantized:
+            s = s * ks_ref[0]  # [1, ps] per-position K scales
         if attn_softcap:
             s = attn_softcap * jnp.tanh(s / attn_softcap)
         col = start + jax.lax.broadcasted_iota(jnp.int32, (G, ps), 1)
@@ -99,6 +107,9 @@ def _paged_kernel(
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
         v = v_ref[0, 0]  # [ps, D]
+        if quantized:
+            p = p * vs_ref[0]  # fold per-position V scales into p
+            v = v.astype(jnp.bfloat16)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -115,11 +126,12 @@ def _paged_kernel(
 @functools.partial(
     jax.jit, static_argnames=("attn_softcap", "window", "interpret")
 )
-def _paged_call(q_bhgd, k_pages, v_pages, page_table, kv_limit,
-                attn_softcap, window, interpret):
+def _paged_call(q_bhgd, k_pages, v_pages, k_scale, v_scale, page_table,
+                kv_limit, attn_softcap, window, interpret):
     B, Hkv, G, D = q_bhgd.shape
     P, ps = k_pages.shape[0], k_pages.shape[2]
     maxp = page_table.shape[1]
+    quantized = k_scale is not None
 
     def page_map(b, h, i, pt_ref, lim_ref):
         # dead steps re-request the sequence's LAST live page: consecutive
@@ -128,18 +140,28 @@ def _paged_call(q_bhgd, k_pages, v_pages, page_table, kv_limit,
         idx = jnp.where(i < n_live, i, n_live - 1)
         return (pt_ref[b, idx], h, 0, 0)
 
+    def page_map3(b, h, i, pt_ref, lim_ref):
+        n_live = jnp.maximum((lim_ref[b] + ps - 1) // ps, 1)
+        idx = jnp.where(i < n_live, i, n_live - 1)
+        return (pt_ref[b, idx], h, 0)
+
     kernel = functools.partial(
         _paged_kernel, ps=ps, n_pages=maxp,
-        attn_softcap=attn_softcap, window=window,
+        attn_softcap=attn_softcap, window=window, quantized=quantized,
     )
+    in_specs = [
+        pl.BlockSpec((1, 1, G, D), lambda b, h, i, *_: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, ps, D), page_map),
+        pl.BlockSpec((1, 1, ps, D), page_map),
+    ]
+    inputs = [q_bhgd, k_pages, v_pages]
+    if quantized:
+        in_specs += [pl.BlockSpec((1, 1, ps), page_map3)] * 2
+        inputs += [k_scale, v_scale]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, Hkv, maxp),
-        in_specs=[
-            pl.BlockSpec((1, 1, G, D), lambda b, h, i, *_: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, ps, D), page_map),
-            pl.BlockSpec((1, 1, ps, D), page_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, i, *_: (b, h, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((G, NUM_LANES), jnp.float32),
@@ -155,12 +177,13 @@ def _paged_call(q_bhgd, k_pages, v_pages, page_table, kv_limit,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(page_table, kv_limit, q_bhgd, k_pages, v_pages)
+    )(page_table, kv_limit, *inputs)
 
 
 def paged_decode_supported(cache, T: int, Hq: int) -> bool:
-    """Kernel path gate: T=1 decode, bf16/f32 pages, lane-aligned head_dim."""
-    if T != 1 or cache.quantized:
+    """Kernel path gate: T=1 decode, lane-aligned head_dim; bf16 OR int8
+    pages (int8 pages are read in place with their scales)."""
+    if T != 1:
         return False
     D = cache.k_pages.shape[-1]
     Hkv = cache.k_pages.shape[2]
@@ -183,6 +206,8 @@ def paged_decode_attention(
     B, T, Hq, D = q.shape
     k_pages = cache.k_pages[layer]
     v_pages = cache.v_pages[layer]
+    k_scale = cache.k_scale[layer] if cache.quantized else None
+    v_scale = cache.v_scale[layer] if cache.quantized else None
     Hkv = k_pages.shape[1]
     G = Hq // Hkv
     Gp = max(G, MIN_G)
@@ -190,8 +215,8 @@ def paged_decode_attention(
     if Gp != G:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
     out = _paged_call(
-        qg, k_pages, v_pages,
+        qg, k_pages, v_pages, k_scale, v_scale,
         cache.page_table.astype(jnp.int32), kv_limit.astype(jnp.int32),
         float(attn_softcap), int(window), _interpret(),
     )
-    return out[:, :, :G].reshape(B, 1, Hq, D).astype(q.dtype)
+    return out[:, :, :G].reshape(B, 1, Hq, D).astype(jnp.bfloat16)

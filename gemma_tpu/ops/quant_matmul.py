@@ -159,6 +159,24 @@ def _pick_bn(N: int) -> int | None:
     return None
 
 
+_WARNED_FALLBACK: set[tuple[str, tuple[int, int]]] = set()
+
+
+def _warn_fallback(fmt: str, shape: tuple[int, int]) -> None:
+    key = (fmt, shape)
+    if key in _WARNED_FALLBACK:
+        return
+    _WARNED_FALLBACK.add(key)
+    import warnings
+
+    warnings.warn(
+        f"QTensor {fmt}{list(shape)} is not kernel-tile-compatible; using the "
+        f"XLA dequant+dot fallback (slower). K must allow a {_FMT_MIN_BK[fmt]}+"
+        f" divisor tile and N a 128+ divisor tile.",
+        stacklevel=3,
+    )
+
+
 def supports(x_shape: tuple[int, ...], qt: QTensor) -> bool:
     N, K = qt.shape
     return (
@@ -266,6 +284,10 @@ def register_all() -> None:
             # in via GEMMA_TPU_INTERPRET_KERNELS=1.
             use_interpret = os.environ.get("GEMMA_TPU_INTERPRET_KERNELS") == "1"
             if (_interpret() and not use_interpret) or not supports(x.shape, qt):
+                if not _interpret():
+                    # on TPU this is a silent ~10x perf cliff: surface it
+                    # once per (fmt, shape) at trace time
+                    _warn_fallback(qt.fmt, qt.shape)
                 from ..quant.qtensor import dequant_t
 
                 return jnp.dot(

@@ -281,9 +281,10 @@ class TPEngine:
             )
             cache = dataclasses.replace(cache, length=lengths)
             last = jnp.take_along_axis(logits, (lengths - 1)[:, None, None], axis=1)
-            # assemble full logits (vocab shards are contiguous slices)
+            # assemble full logits (vocab shards are contiguous slices),
+            # dropping any vocab-padding rows (params.py pad_vocab)
             full = jax.lax.all_gather(last[:, 0], MODEL_AXIS, axis=1, tiled=True)
-            return full, cache
+            return full[:, : cfg.vocab_size], cache
 
         def decode_local(params, tokens, cache):
             B = tokens.shape[0]
@@ -295,7 +296,7 @@ class TPEngine:
             )
             cache = cache.advance(1)
             full = jax.lax.all_gather(logits[:, 0], MODEL_AXIS, axis=1, tiled=True)
-            return full, cache
+            return full[:, : cfg.vocab_size], cache
 
         self._prefill = jax.jit(
             shard_map(

@@ -299,6 +299,26 @@ def concat_rows(qts: list["QTensor"]) -> "QTensor":
     return QTensor(fmt, arrays)
 
 
+def pad_rows(qt: QTensor, n_new: int) -> QTensor:
+    """Zero-pad the logical row (out-feature / N) axis to `n_new` rows.
+
+    Used to pad the vocab dim of the embedding/head to a 2048 multiple: the
+    raw Gemma vocab (256128) only tiles at bn=128, which makes the lm_head
+    matmul stream 128-byte strided chunks (measured 320 GB/s vs 666 GB/s at
+    bn=2048 — tools/bench_shapes.py). Zero scales dequantize to exact zero
+    rows; callers slice the logits back to the true vocab."""
+    N, K = qt.shape
+    if n_new == N:
+        return qt
+    if n_new < N:
+        raise ValueError(f"pad_rows: {n_new} < current rows {N}")
+    xp = jnp if any(isinstance(a, jax.Array) for a in qt.arrays.values()) else np
+    arrays = {
+        k: xp.pad(a, ((0, 0), (0, n_new - N))) for k, a in qt.arrays.items()
+    }
+    return QTensor(qt.fmt, arrays)
+
+
 def gather_dequant(qt: QTensor, indices: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     """Gather logical rows (out-features / vocab entries) `indices` of a
     quantized [N, K] matrix and dequantize only those rows -> [..., K].

@@ -99,7 +99,14 @@ class PagedKVCache:
         `PageAllocator`. The default all-zeros table points every write at
         the trash page — correct ONLY for scheduler-managed caches where
         `insert_sequence` installs real tables at admission."""
-        maxp = (max_seq_len or config.context_length) // page_size
+        msl = max_seq_len or config.context_length
+        if msl % page_size != 0:
+            # a floored table would silently clamp decode writes past
+            # maxp*ps into the sequence's last page, corrupting KV
+            raise ValueError(
+                f"max_seq_len ({msl}) must be a multiple of page_size ({page_size})"
+            )
+        maxp = msl // page_size
         shape = (config.n_layers, n_pages, config.n_kv_heads, page_size, config.head_dim)
         if identity_layout:
             if n_pages < batch * maxp + 1:

@@ -80,6 +80,7 @@ class Scheduler:
         # per-slot next-token logits, merged into one [B, vocab] batch
         self._logits = jnp.zeros((self.max_batch, engine.cfg.vocab_size), jnp.float32)
         self._steps = 0
+        self._tokens_discarded = 0
 
     # -- request intake ----------------------------------------------------
     def submit(self, req: Request) -> None:
@@ -176,7 +177,6 @@ class Scheduler:
         tok_np = np.asarray(tb)  # [B, n]
         now = time.monotonic()
         emitted: list[tuple[str, int]] = []
-        self._steps += n
         for slot, req in list(self.active.items()):
             for j in range(n):
                 t = int(tok_np[slot, j])
@@ -190,7 +190,14 @@ class Scheduler:
                 full = len(req.prompt) + len(req.tokens) >= self.engine.ecfg.max_seq_len
                 if hit_eos or full or len(req.tokens) >= req.max_new_tokens:
                     self._finish(slot, req, now)
+                    # the remaining n-1-j tokens of this slot's block were
+                    # decoded by the device but never emitted
+                    self._tokens_discarded += n - 1 - j
                     break
+        # decode_steps counts device steps (consistent with per-token mode:
+        # one batched step per tick); the wasted tail work of finished slots
+        # is visible separately as tokens_discarded.
+        self._steps += n
         return emitted
 
     def _finish(self, slot: int, req: Request, now: float) -> None:
@@ -209,14 +216,17 @@ class Scheduler:
 
     def run(self, max_steps: int | None = None, block: int = 1) -> list[Request]:
         """Drive until all submitted work completes; returns finished reqs.
-        `block` > 1 decodes in fused multi-token blocks (see step_block)."""
+        `block` > 1 decodes in fused multi-token blocks (see step_block).
+        `max_steps` bounds device decode steps (a block tick counts as
+        `block` steps), so the work cap is block-size independent."""
         steps = 0
         while (self.pending or self.active) and (max_steps is None or steps < max_steps):
             if block > 1:
                 self.step_block(block)
+                steps += block
             else:
                 self.step()
-            steps += 1
+                steps += 1
         return self.finished
 
     # -- metrics -----------------------------------------------------------
@@ -226,6 +236,7 @@ class Scheduler:
         return {
             "requests": len(self.finished),
             "decode_steps": self._steps,
+            "tokens_discarded": self._tokens_discarded,
             "total_tokens": total_toks,
             "p50_ttft_s": ttfts[len(ttfts) // 2] if ttfts else None,
             "p99_ttft_s": ttfts[min(len(ttfts) - 1, int(len(ttfts) * 0.99))] if ttfts else None,

@@ -99,7 +99,9 @@ def make_params(
         return np.ones(d, np.float32)
 
     params = {
-        "embed": mat(cfg.vocab_size, cfg.d_model),
+        # embedding/head padded to the 2048-aligned vocab, as load_params does
+        "embed": mat(cfg.padded_vocab_size if fmt != "bf16" else cfg.vocab_size,
+                     cfg.d_model),
         "final_norm": norm(cfg.d_model),
         "layers": [
             {

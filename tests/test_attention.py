@@ -97,6 +97,60 @@ def test_decode_kernel_matches_xla(B, S, Hq, Hkv, D, limits, cap, win, rng):
     np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.parametrize("B,S,Hq,Hkv,D,limits,cap,win", DECODE_CASES)
+def test_decode_kernel_int8_kv(B, S, Hq, Hkv, D, limits, cap, win, rng):
+    """int8 cache rows read in place (scales folded into the dots) vs the
+    dequantize-then-XLA reference."""
+    q, k, v = make_qkv(rng, B, 1, S, Hq, Hkv, D)
+    kf = np.asarray(k, np.float32)
+    vf = np.asarray(v, np.float32)
+
+    def quant(x):
+        amax = np.abs(x).max(axis=-1)
+        scale = amax / 127.0
+        inv = np.where(scale > 0, 1.0 / np.where(scale == 0, 1.0, scale), 0.0)
+        return np.round(x * inv[..., None]).astype(np.int8), scale.astype(np.float32)
+
+    qk, sk = quant(kf)
+    qv, sv = quant(vf)
+    kv_limit = jnp.asarray(limits, jnp.int32)
+    positions = (kv_limit - 1)[:, None]
+    got = np.asarray(
+        decode_attention(
+            q, jnp.asarray(qk), jnp.asarray(qv), kv_limit, attn_softcap=cap,
+            window=win, k_scale=jnp.asarray(sk), v_scale=jnp.asarray(sv),
+        ),
+        np.float32,
+    )
+    kd = jnp.asarray(qk * sk[..., None], jnp.bfloat16)
+    vd = jnp.asarray(qv * sv[..., None], jnp.bfloat16)
+    ref = np.asarray(
+        sdpa_xla(q, kd, vd, positions, kv_limit, attn_softcap=cap, window=win),
+        np.float32,
+    )
+    np.testing.assert_allclose(got, ref, atol=3e-2, rtol=3e-2)
+
+
+def test_flash_non_consecutive_positions(rng):
+    """Arbitrary (shuffled, gapped) per-row query positions — the kernel
+    reads positions per row, so no consecutiveness contract exists."""
+    B, T, S, Hq, Hkv, D = 2, 128, 256, 4, 2, 128
+    q, k, v = make_qkv(rng, B, T, S, Hq, Hkv, D)
+    positions = jnp.asarray(
+        np.stack(
+            [
+                rng.permutation(np.arange(0, 2 * T, 2))[:T],  # gapped + shuffled
+                rng.integers(0, S, size=T),
+            ]
+        ),
+        jnp.int32,
+    )
+    kv_limit = jnp.asarray([S, 180], jnp.int32)
+    got = np.asarray(flash_attention(q, k, v, positions, kv_limit), np.float32)
+    ref = np.asarray(sdpa_xla(q, k, v, positions, kv_limit), np.float32)
+    np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)
+
+
 def test_flash_rows_before_any_key():
     """Query rows with position < 0 valid keys (empty attention) must not NaN."""
     import jax.numpy as jnp

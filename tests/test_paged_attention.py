@@ -93,4 +93,53 @@ def test_paged_unsupported_gates():
     qcache = PagedKVCache.create(
         cfg, 1, 4, page_size=16, max_seq_len=64, quantized=True
     )
-    assert not paged_decode_supported(qcache, 1, 2)  # int8 falls back
+    assert not paged_decode_supported(qcache, 1, 2)  # D=64 not lane-aligned
+
+
+def quantize_rows(x):
+    """Per-(head, position) symmetric int8 over D: x [.., D] f32."""
+    amax = np.abs(x).max(axis=-1)
+    scale = amax / 127.0
+    inv = np.where(scale > 0, 1.0 / np.where(scale == 0, 1.0, scale), 0.0)
+    q = np.round(x * inv[..., None]).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
+@pytest.mark.parametrize("B,lengths,softcap,window", [
+    (1, [40], 0.0, 0),
+    (2, [17, 128], 0.0, 0),
+    (1, [100], 30.0, 32),
+])
+def test_paged_int8_matches_dense(B, lengths, softcap, window, rng):
+    """int8 pages read in place by the kernel vs the dequantized XLA path."""
+    Hq, Hkv, D, ps, maxp, n_pages = 8, 2, 128, 16, 8, 24
+    cache, k_dense, v_dense = make_paged(rng, B, Hkv, D, n_pages, ps, maxp, lengths)
+    kp = np.asarray(cache.k_pages, np.float32)
+    vp = np.asarray(cache.v_pages, np.float32)
+    qk, sk = quantize_rows(kp)
+    qv, sv = quantize_rows(vp)
+    qcache = PagedKVCache(
+        k_pages=jnp.asarray(qk), v_pages=jnp.asarray(qv),
+        page_table=cache.page_table, length=cache.length,
+        k_scale=jnp.asarray(sk), v_scale=jnp.asarray(sv),
+    )
+    assert qcache.quantized and paged_decode_supported(qcache, 1, Hq)
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)) * 0.3, jnp.bfloat16)
+    kv_limit = jnp.asarray(lengths, jnp.int32)
+    positions = (kv_limit - 1)[:, None]
+
+    got = np.asarray(
+        paged_decode_attention(q, qcache, 0, kv_limit, softcap, window), np.float32
+    )
+    # reference: dequantize densely, then XLA attention
+    kd = (qk[0][np.asarray(cache.page_table)] * sk[0][np.asarray(cache.page_table)][..., None])
+    vd = (qv[0][np.asarray(cache.page_table)] * sv[0][np.asarray(cache.page_table)][..., None])
+    # [B, maxp, H, ps, D] -> [B, H, maxp*ps, D]
+    kd = kd.transpose(0, 2, 1, 3, 4).reshape(B, Hkv, maxp * ps, D)
+    vd = vd.transpose(0, 2, 1, 3, 4).reshape(B, Hkv, maxp * ps, D)
+    ref = np.asarray(
+        sdpa_xla(q, jnp.asarray(kd, jnp.bfloat16), jnp.asarray(vd, jnp.bfloat16),
+                 positions, kv_limit, softcap, window),
+        np.float32,
+    )
+    np.testing.assert_allclose(got, ref, atol=3e-2, rtol=3e-2)

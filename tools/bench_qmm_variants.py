@@ -83,7 +83,10 @@ def _kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, nsteps, mode):
             w = (w4.astype(jnp.float32) * _expand32(sc_ref[...], bk, bn)).astype(jnp.bfloat16)
         elif mode == "rsc":
             # broadcast folded into the mul: no materialized [bk, bn] scale
-            scf = _decode_f16(sc_ref[...]) if sc_ref.dtype == jnp.uint16 else sc_ref[...]
+            if sc_ref.dtype == jnp.uint16:
+                scf = _decode_f16(sc_ref[...])
+            else:
+                scf = sc_ref[...].astype(jnp.float32)
             G = bk // 32
             w = (
                 w4.astype(jnp.float32).reshape(G, 32, bn) * scf[:, None, :]
@@ -191,14 +194,18 @@ def measure(N, K, mode, sc_dtype, bk, bn, reps=5, r=48):
 def main():
     shapes = [("ffn_down", 2048, 16384), ("gate_up", 32768, 2048)]
     configs = [
-        ("stream", jnp.uint16, 2048, 1024),   # HBM ceiling for these bytes
-        ("rsc", jnp.uint16, 2048, 1024),      # current production kernel
-        ("rsc", jnp.float32, 2048, 1024),     # f32 scales: +11% bytes, no f16 decode
-        ("rsc", jnp.float32, 2048, 2048),
-        ("rsc", jnp.uint16, 4096, 1024),
-        ("rscb", jnp.uint16, 2048, 1024),
+        ("stream", jnp.uint16, 2048, 2048),   # HBM ceiling at 4.5 bpw bytes
+        ("stream", jnp.float32, 2048, 2048),  # HBM ceiling at 5.0 bpw bytes
+        ("rsc", jnp.float32, 2048, 2048),     # round-2 production kernel
+        ("rsc", jnp.bfloat16, 2048, 2048),    # bf16 scales (4.5 bpw, 1 convert)
+        ("rsc", jnp.uint16, 2048, 2048),      # exact f16 scales (4.5 bpw)
+        ("rsc", jnp.bfloat16, 1024, 2048),
+        ("rsc", jnp.bfloat16, 4096, 2048),
+        ("rsc", jnp.bfloat16, 2048, 1024),
+        ("rsc", jnp.bfloat16, 2048, 4096),
+        ("rscb", jnp.bfloat16, 2048, 2048),
         ("gdot", jnp.float32, 2048, 1024),    # batched per-group dots
-        ("noscale", jnp.float32, 2048, 1024), # scale-mul cost isolation
+        ("noscale", jnp.float32, 2048, 2048), # scale-mul cost isolation
     ]
     only = sys.argv[1] if len(sys.argv) > 1 else None
     print(f"device: {jax.devices()[0].device_kind}, M={M}, CH={CH}")
