@@ -261,6 +261,7 @@ def _decode_kernel(
     else:
         o_ref, m_scr, l_scr, acc_scr = rest
     s_idx = pl.program_id(2)
+    h_idx = pl.program_id(1)
 
     @pl.when(s_idx == 0)
     def _():
@@ -284,7 +285,9 @@ def _decode_kernel(
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         )  # [G, bs]
         if quantized:
-            s = s * ks_ref[0]  # [1, bs] per-position K scales
+            # per-position K scales: [1, bs] row of this head (blocks carry
+            # all Hkv rows — Mosaic's last-two-dims rule — tiny vs the KV)
+            s = s * ks_ref[0, pl.dslice(h_idx, 1), :]  # [1, bs]
         if attn_softcap:
             s = attn_softcap * jnp.tanh(s / attn_softcap)
         col = s_start + jax.lax.broadcasted_iota(jnp.int32, (G, block_s), 1)
@@ -305,7 +308,7 @@ def _decode_kernel(
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
         v_t = v_ref[0, 0]  # [bs, D]
         if quantized:
-            p = p * vs_ref[0]  # fold per-position V scales into p
+            p = p * vs_ref[0, pl.dslice(h_idx, 1), :]  # [1, bs]
             v_t = v_t.astype(jnp.bfloat16)
         pv = jax.lax.dot_general(
             p.astype(v_t.dtype), v_t, (((1,), (0,)), ((), ())),
@@ -342,7 +345,10 @@ def _decode_call(
     ]
     inputs = [kv_limit.reshape(B, 1), q_bhgd, k, v]
     if quantized:
-        in_specs += [pl.BlockSpec((1, 1, block_s), lambda b, h, sk: (b, h, sk))] * 2
+        Hkv_ = k.shape[1]
+        in_specs += [
+            pl.BlockSpec((1, Hkv_, block_s), lambda b, h, sk: (b, 0, sk))
+        ] * 2
         inputs += [k_scale, v_scale]
     out = pl.pallas_call(
         kernel,

@@ -64,6 +64,7 @@ def _paged_kernel(
     else:
         o_ref, m_scr, l_scr, acc_scr = rest
     b, i = pl.program_id(0), pl.program_id(2)
+    h_idx = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
@@ -87,7 +88,8 @@ def _paged_kernel(
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         )  # [G, ps]
         if quantized:
-            s = s * ks_ref[0]  # [1, ps] per-position K scales
+            # this head's per-position K scales (block carries all Hkv rows)
+            s = s * ks_ref[0, pl.dslice(h_idx, 1), :]  # [1, ps]
         if attn_softcap:
             s = attn_softcap * jnp.tanh(s / attn_softcap)
         col = start + jax.lax.broadcasted_iota(jnp.int32, (G, ps), 1)
@@ -108,7 +110,7 @@ def _paged_kernel(
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
         v = v_ref[0, 0]  # [ps, D]
         if quantized:
-            p = p * vs_ref[0]  # fold per-position V scales into p
+            p = p * vs_ref[0, pl.dslice(h_idx, 1), :]  # [1, ps]
             v = v.astype(jnp.bfloat16)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -143,7 +145,7 @@ def _paged_call(q_bhgd, k_pages, v_pages, k_scale, v_scale, page_table,
     def page_map3(b, h, i, pt_ref, lim_ref):
         n_live = jnp.maximum((lim_ref[b] + ps - 1) // ps, 1)
         idx = jnp.where(i < n_live, i, n_live - 1)
-        return (pt_ref[b, idx], h, 0)
+        return (pt_ref[b, idx], 0, 0)
 
     kernel = functools.partial(
         _paged_kernel, ps=ps, n_pages=maxp,
@@ -156,7 +158,7 @@ def _paged_call(q_bhgd, k_pages, v_pages, k_scale, v_scale, page_table,
     ]
     inputs = [q_bhgd, k_pages, v_pages]
     if quantized:
-        in_specs += [pl.BlockSpec((1, 1, ps), page_map3)] * 2
+        in_specs += [pl.BlockSpec((1, Hkv, ps), page_map3)] * 2
         inputs += [k_scale, v_scale]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -241,7 +241,10 @@ def cache_specs(cfg: GemmaConfig, mesh: Mesh, batch: int, cache) -> Any:
 
 class TPEngine:
     """Tensor-parallel engine: prefill + decode steps inside shard_map with
-    explicit collectives. API mirrors runtime.Engine's core methods."""
+    explicit collectives. API mirrors runtime.Engine's core surface
+    (`_step`/`_block`/`prefill_standalone`/`insert_sequence`/`ecfg`), so
+    `runtime.Scheduler` drives it unchanged — multi-chip continuous batching
+    (config 5) is the same code path as single-chip."""
 
     def __init__(self, cfg: GemmaConfig, params: Params, mesh: Mesh,
                  max_seq_len: int = 512, max_batch: int = 1,
@@ -254,6 +257,10 @@ class TPEngine:
         self.lcfg = local_config(cfg, self.tp)
         self.max_seq_len = max_seq_len
         self.max_batch = max_batch
+        from ..runtime.engine import EngineConfig
+
+        self.ecfg = EngineConfig(max_seq_len=max_seq_len, max_batch=max_batch,
+                                 donate_cache=donate_cache, paged=False)
         self.params = build_tp_params(params, cfg, mesh)
         pspecs = _param_specs(self.params, cfg, mesh)
 
@@ -307,6 +314,21 @@ class TPEngine:
             ),
             donate_argnums=(3,) if donate_cache else (),
         )
+        # batch-REPLICATED prefill for standalone (batch-1) admission
+        # prefills: TP still splits the compute; the batch axis stays whole
+        # so any B works regardless of the data-axis size
+        cache1 = self.new_cache(1)
+        cspec1 = cache_specs(cfg, mesh, 1, cache1)
+        self._cache_spec1 = cspec1
+        del cache1
+        self._prefill_rep = jax.jit(
+            shard_map(
+                prefill_local, mesh=mesh,
+                in_specs=(pspecs, P(None), P(None), cspec1),
+                out_specs=(P(None), cspec1),
+                check_vma=False,
+            ),
+        )
         self._decode = jax.jit(
             shard_map(
                 decode_local, mesh=mesh,
@@ -317,7 +339,46 @@ class TPEngine:
             donate_argnums=(2,) if donate_cache else (),
         )
 
-    def new_cache(self, batch: int | None = None):
+        # fused sample+decode (Engine._step_impl analogue): sampling runs on
+        # the gathered logits OUTSIDE shard_map but INSIDE one jit program —
+        # still one dispatch per token
+        decode_sharded = shard_map(
+            decode_local, mesh=mesh,
+            in_specs=(pspecs, bleading, cspec_tree),
+            out_specs=(bleading, cspec_tree),
+            check_vma=False,
+        )
+
+        def step_impl(params, logits, key, cache, *, sampling):
+            from ..runtime.sampler import sample
+
+            if sampling.is_greedy:
+                tok = sample(logits, sampling, None)
+            else:
+                key, sub = jax.random.split(key)
+                tok = sample(logits, sampling, sub)
+            next_logits, cache = decode_sharded(params, tok, cache)
+            return tok, next_logits, cache, key
+
+        def block_impl(params, logits, key, cache, *, sampling, n):
+            toks = []
+            for _ in range(n):
+                tok, logits, cache, key = step_impl(
+                    params, logits, key, cache, sampling=sampling
+                )
+                toks.append(tok)
+            return jnp.stack(toks, axis=1), logits, cache, key
+
+        self._step = jax.jit(
+            step_impl, static_argnames=("sampling",),
+            donate_argnums=(3,) if donate_cache else (),
+        )
+        self._block = jax.jit(
+            block_impl, static_argnames=("sampling", "n"),
+            donate_argnums=(3,) if donate_cache else (),
+        )
+
+    def new_cache(self, batch: int | None = None, **_ignored):
         from ..runtime.kv_cache import KVCache
 
         ccfg = dataclasses.replace(
@@ -347,6 +408,57 @@ class TPEngine:
 
     def decode_step(self, tokens, cache):
         return self._decode(self.params, tokens, cache)
+
+    # -- Scheduler surface (continuous batching over the TP mesh) ----------
+    def prefill_standalone(self, prompt: list[int]):
+        """Prefill one sequence through the batch-replicated TP graph into a
+        throwaway bucket-sized cache; returns the Engine-compatible
+        (logits, k_seq, v_seq, scales, length) insertion tuple."""
+        from ..runtime.kv_cache import KVCache
+
+        T = 16
+        while T < len(prompt):
+            T *= 2
+        ccfg = dataclasses.replace(
+            self.cfg, n_kv_heads=cache_heads(self.cfg, self.tp)
+        )
+        tmp = KVCache.create(ccfg, 1, T)
+        tmp = jax.tree_util.tree_map(
+            lambda a, s: jax.device_put(a, NamedSharding(self.mesh, s)),
+            tmp, self._cache_spec1,
+        )
+        toks = np.zeros((1, T), np.int32)
+        toks[0, : len(prompt)] = prompt
+        logits, tmp = self._prefill_rep(
+            self.params, jnp.asarray(toks), jnp.asarray([len(prompt)], np.int32), tmp
+        )
+        return logits[0], tmp.k[:, 0], tmp.v[:, 0], (None, None), len(prompt)
+
+    @functools.cached_property
+    def _insert(self):
+        def fn(cache, slot, k_seq, v_seq, length):
+            return cache.insert_sequence(slot, k_seq, v_seq, length)
+
+        return jax.jit(fn, donate_argnums=(0,))
+
+    def insert_sequence(self, cache, slot: int, prefill_out, pages=None):
+        """Insert a prefill_standalone result into batch row `slot` of the
+        sharded serving cache (GSPMD propagates the cache sharding through
+        the dynamic_update_slice)."""
+        assert pages is None, "TPEngine serves dense caches"
+        logits, k_seq, v_seq, _scales, length = prefill_out
+        S = cache.max_len
+        T = k_seq.shape[2]
+        if T < S:
+            pad = [(0, 0), (0, 0), (0, S - T), (0, 0)]
+            k_seq = jnp.pad(k_seq, pad)
+            v_seq = jnp.pad(v_seq, pad)
+        elif T > S:
+            raise ValueError(f"prefill bucket {T} exceeds cache capacity {S}")
+        return self._insert(
+            cache, jnp.asarray(slot, jnp.int32), k_seq, v_seq,
+            jnp.asarray(length, jnp.int32),
+        )
 
     def generate_greedy(self, prompts: list[list[int]], max_new_tokens: int):
         logits, cache = self.prefill(prompts)

@@ -64,6 +64,11 @@ class EngineConfig:
     paged: bool = False
     page_size: int = 16
     n_pages: int | None = None  # default: max_batch * max_seq_len / page_size
+    # chunked prefill: prompts longer than this are prefilled in fixed
+    # `prefill_chunk`-token pieces (one compiled shape regardless of prompt
+    # length — an 8K prompt compiles the same program as a 1K one).
+    # 0 disables. Must be a bucket-friendly power of two.
+    prefill_chunk: int = 0
 
 
 class Engine:
@@ -88,6 +93,9 @@ class Engine:
             self._block_impl,
             static_argnames=("sampling", "n"),
             donate_argnums=(3,) if donate else (),
+        )
+        self._prefill_chunk = jax.jit(
+            self._prefill_chunk_impl, donate_argnums=(4,) if donate else ()
         )
 
     @functools.cached_property
@@ -206,12 +214,36 @@ class Engine:
         next_logits, cache = self._decode_impl(params, tok, cache)
         return tok, next_logits, cache, key
 
+    def _prefill_chunk_impl(self, params, tokens, start, kv_limit, cache, lengths, prev_last):
+        """One fixed-shape chunk of a long prefill: tokens [B, C] at absolute
+        positions [start, start+C). Carries the per-sequence last-token
+        logits (selected in the chunk that contains lengths-1) so the host
+        never syncs between chunks."""
+        B, C = tokens.shape
+        positions = start + jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32), (B, C))
+        logits, cache = gemma.forward(
+            params, self.cfg, tokens, positions, cache,
+            write_index=start, kv_limit=kv_limit,
+        )
+        cache = dataclasses.replace(cache, length=kv_limit)
+        idx = jnp.clip(lengths - 1 - start, 0, C - 1)
+        this_last = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
+        in_chunk = (lengths - 1 >= start) & (lengths - 1 < start + C)
+        last = jnp.where(in_chunk[:, None], this_last, prev_last)
+        return last, cache
+
     # -- public API --------------------------------------------------------
     def prefill(self, prompts: list[list[int]], cache: KVCache | None = None):
-        """Pad a batch of prompts to a bucket and run the prefill graph."""
+        """Pad a batch of prompts to a bucket and run the prefill graph.
+        Prompts longer than `prefill_chunk` (when set) run chunked: a fixed
+        per-chunk compile shape regardless of prompt length."""
         B = len(prompts)
         lengths = np.array([len(p) for p in prompts], np.int32)
-        T = _bucket(int(lengths.max()), self.ecfg.prefill_bucket_min)
+        maxlen = int(lengths.max())
+        chunk = self.ecfg.prefill_chunk
+        if chunk and maxlen > chunk:
+            return self.prefill_chunked(prompts, chunk, cache)
+        T = _bucket(maxlen, self.ecfg.prefill_bucket_min)
         toks = np.zeros((B, T), np.int32)
         for i, p in enumerate(prompts):
             toks[i, : len(p)] = p
@@ -220,6 +252,48 @@ class Engine:
             out = self._prefill(self.params, jnp.asarray(toks), jnp.asarray(lengths), cache)
         prof.add_count("tokens.prefilled", int(lengths.sum()))
         return out
+
+    def prefill_chunked(
+        self, prompts: list[list[int]], chunk_size: int | None = None,
+        cache: KVCache | None = None,
+    ):
+        """Prefill in fixed `chunk_size`-token pieces (SURVEY.md config 4:
+        long prompts without per-length compiles). The flash kernel handles
+        the offset query positions natively; chunk writes land at
+        page-aligned offsets when the cache is paged (chunk_size must then
+        be a page_size multiple). Returns (last_logits [B, vocab], cache)."""
+        B = len(prompts)
+        chunk = chunk_size or self.ecfg.prefill_chunk or 512
+        if self.ecfg.paged and chunk % self.ecfg.page_size != 0:
+            raise ValueError(
+                f"prefill_chunk ({chunk}) must be a multiple of page_size "
+                f"({self.ecfg.page_size})"
+            )
+        lengths = np.array([len(p) for p in prompts], np.int32)
+        maxlen = int(lengths.max())
+        n_chunks = -(-maxlen // chunk)
+        toks = np.zeros((B, n_chunks * chunk), np.int32)
+        for i, p in enumerate(prompts):
+            toks[i, : len(p)] = p
+        cache = cache if cache is not None else self.new_cache(B)
+        lengths_d = jnp.asarray(lengths)
+        last = jnp.zeros((B, self.cfg.vocab_size), jnp.float32)
+        for c in range(n_chunks):
+            start = c * chunk
+            limit = np.minimum(lengths, start + chunk).astype(np.int32)
+            with prof.span(f"prefill.chunk[B={B},C={chunk}]"):
+                last, cache = self._prefill_chunk(
+                    self.params,
+                    jnp.asarray(toks[:, start : start + chunk]),
+                    jnp.asarray(start, jnp.int32),
+                    jnp.asarray(limit),
+                    cache,
+                    lengths_d,
+                    last,
+                )
+        cache = dataclasses.replace(cache, length=lengths_d)
+        prof.add_count("tokens.prefilled", int(lengths.sum()))
+        return last, cache
 
     def decode_step(self, tokens: jax.Array, cache: KVCache):
         return self._decode(self.params, tokens, cache)

@@ -58,8 +58,16 @@ class Scheduler:
         sampling: SamplingParams = SamplingParams(),
         seed: int = 0,
         on_token: Callable[[Request, int], None] | None = None,
+        prefill_engine: Engine | None = None,
     ):
+        """`prefill_engine` (optional) runs admission prefills on a different
+        engine than the decode batch — prefill/decode disaggregation: the
+        prefill side is compute-bound and bursty, the decode side latency-
+        bound; its output transfers into the decode cache via
+        `insert_sequence` (multihost.HostRoles picks which engine lives on
+        which host)."""
         self.engine = engine
+        self.prefill_engine = prefill_engine or engine
         self.sampling = sampling
         self.on_token = on_token
         self.max_batch = engine.ecfg.max_batch
@@ -67,6 +75,8 @@ class Scheduler:
         # installs its allocator-assigned table (identity layout would alias
         # the allocator's free pages)
         self.cache = engine.new_cache(self.max_batch, identity_pages=False)
+        if hasattr(engine, "place_cache"):  # sharded engines (TPEngine)
+            self.cache = engine.place_cache(self.cache)
         self.allocator = None
         self._slot_pages: dict[int, list[int]] = {}
         if engine.ecfg.paged:
@@ -123,7 +133,7 @@ class Scheduler:
                     self.pending.appendleft(req)
                     break
                 self._slot_pages[slot] = pages
-            pre = self.engine.prefill_standalone(req.prompt)
+            pre = self.prefill_engine.prefill_standalone(req.prompt)
             self.cache = self.engine.insert_sequence(self.cache, slot, pre, pages)
             self._logits = self._logits.at[slot].set(pre[0])
             req.slot = slot

@@ -162,3 +162,52 @@ def test_generate_fused_rejects_over_capacity(tiny_model):
     eng = Engine(cfg, params, EngineConfig(max_seq_len=16, donate_cache=False))
     with pytest.raises(ValueError):
         eng.generate_fused([[1, 7, 300]], max_new_tokens=14)
+
+
+def test_chunked_prefill_matches_monolithic(tiny_model):
+    """Chunked prefill (fixed per-chunk shapes, offset positions) must give
+    the same last-token logits and the same generation as one-shot prefill."""
+    cfg, params, _, _ = tiny_model
+    prompts = [[1, 7, 300, 42, 260, 9, 77, 5, 33, 2, 8] * 4,  # 44 tokens
+               [1, 9, 4, 11]]
+    eng = Engine(cfg, params, EngineConfig(max_seq_len=128, max_batch=2,
+                                           donate_cache=False))
+    l_mono, c_mono = eng.prefill(prompts)
+    l_chunk, c_chunk = eng.prefill_chunked(prompts, chunk_size=16)
+    np.testing.assert_allclose(
+        np.asarray(l_chunk), np.asarray(l_mono), atol=2e-2, rtol=2e-2
+    )
+    assert int(np.argmax(l_chunk[0])) == int(np.argmax(l_mono[0]))
+    assert int(np.argmax(l_chunk[1])) == int(np.argmax(l_mono[1]))
+    np.testing.assert_array_equal(
+        np.asarray(c_chunk.length), np.asarray(c_mono.length)
+    )
+    # full generation equality through the chunked path
+    want = eng.generate_from(l_mono, c_mono, 6)
+    got = eng.generate_from(l_chunk, c_chunk, 6)
+    assert got == want
+
+
+def test_engine_config_prefill_chunk_routing(tiny_model):
+    """EngineConfig.prefill_chunk routes long prompts through chunks."""
+    cfg, params, _, _ = tiny_model
+    prompt = list(range(1, 41))
+    base = Engine(cfg, params, EngineConfig(max_seq_len=128, donate_cache=False))
+    chunked = Engine(cfg, params, EngineConfig(max_seq_len=128, donate_cache=False,
+                                               prefill_chunk=16))
+    want = base.generate([prompt], 5)
+    got = chunked.generate([prompt], 5)
+    assert got == want
+
+
+def test_chunked_prefill_paged(tiny_model):
+    """Chunked prefill writes page-aligned chunks into a paged cache."""
+    cfg, params, _, _ = tiny_model
+    prompt = list(range(1, 41))
+    eng = Engine(cfg, params, EngineConfig(max_seq_len=128, donate_cache=False,
+                                           paged=True, page_size=16,
+                                           prefill_chunk=16))
+    dense = Engine(cfg, params, EngineConfig(max_seq_len=128, donate_cache=False))
+    got = eng.generate([prompt], 5)
+    want = dense.generate([prompt], 5)
+    assert got == want

@@ -87,3 +87,53 @@ def test_quant_matmul_composes_with_shard_map(rng):
     got = np.asarray(fn(x, qt_dev))
     ref = np.asarray(x, np.float32) @ np.asarray(dequant(qt, np.float32)).T
     np.testing.assert_allclose(got, ref, atol=2e-2 * np.abs(ref).max(), rtol=2e-2)
+
+
+def test_scheduler_drives_tp_engine(model):
+    """Continuous batching over the TP mesh: serve() + Scheduler + TPEngine
+    end-to-end (config 5 composed, not three disconnected modules). Greedy
+    tokens must match the single-device scheduler's."""
+    from gemma_tpu.runtime import serve
+    from gemma_tpu.runtime.scheduler import Request
+
+    cfg, params = model
+    mesh = make_mesh(1, 2, devices=jax.devices()[:2])
+    reqs = [
+        Request("a", [1, 7, 300, 42], max_new_tokens=4),
+        Request("b", [1, 9], max_new_tokens=5),
+        Request("c", [1, 5, 11], max_new_tokens=3),
+    ]
+    tp_eng = TPEngine(cfg, params, mesh, max_seq_len=32, max_batch=2)
+    sched = serve(tp_eng, reqs)
+    stats = sched.stats()
+    assert stats["requests"] == 3
+    got = {r.id: r.tokens for r in sched.finished}
+
+    ref_eng = Engine(cfg, params, EngineConfig(max_seq_len=32, max_batch=2, donate_cache=False))
+    ref = {
+        r.id: ref_eng.generate([r.prompt], max_new_tokens=r.max_new_tokens)[0]
+        for r in reqs
+    }
+    assert got == ref
+    assert stats["p50_ttft_s"] is not None
+
+
+def test_tp_engine_sampling_step(model):
+    """TPEngine's fused sample+decode step with non-greedy sampling runs and
+    produces in-vocab tokens (Scheduler's _step/_block surface)."""
+    import jax.numpy as jnp
+
+    from gemma_tpu.runtime import SamplingParams
+
+    cfg, params = model
+    mesh = make_mesh(1, 2, devices=jax.devices()[:2])
+    tp_eng = TPEngine(cfg, params, mesh, max_seq_len=32, max_batch=1)
+    logits, cache = tp_eng.prefill([[1, 7, 300]])
+    key = jax.random.PRNGKey(0)
+    sp = SamplingParams(temperature=0.8, top_k=40, top_p=0.95)
+    toks, logits, cache, key = tp_eng._block(
+        tp_eng.params, logits, key, cache, sampling=sp, n=3
+    )
+    toks = np.asarray(toks)
+    assert toks.shape == (1, 3)
+    assert ((toks >= 0) & (toks < cfg.vocab_size)).all()
