@@ -45,6 +45,16 @@ def _add_engine_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--profile", action="store_true",
                    help="print the op-span/roofline report at exit "
                    "(reference: print_profiling_result, app.cpp:42)")
+    p.add_argument("--verify", action="store_true",
+                   help="before running, diff the Pallas kernels against "
+                   "the XLA fallback on-device for one prefill + 4 decode "
+                   "steps (the reference's in-situ kernel check, "
+                   "kernals.cl:203-213); abort on mismatch")
+    p.add_argument("--profile-sync", type=int, default=1, metavar="N",
+                   help="with --profile: block on the device every Nth "
+                   "decode dispatch so span times are true device time, "
+                   "not async queueing (0 disables; slows the run by the "
+                   "dispatch round-trip)")
 
 
 def _load(args, need_tokenizer: bool = True):
@@ -68,7 +78,7 @@ def cmd_generate(args) -> int:
     from .utils import profiling
 
     if args.profile:
-        profiling.enable()
+        profiling.enable(sync_every=max(0, args.profile_sync))
         profiling.autoset_peaks()
     reader, cfg, params, tok = _load(args)
 
@@ -80,6 +90,18 @@ def cmd_generate(args) -> int:
         print(f"prompt ({len(prompt)} tokens) must be shorter than "
               f"--max-seq-len {args.max_seq_len}", file=sys.stderr)
         return 2
+
+    if args.verify:
+        from .utils.verify import format_report, verify_device_kernels
+
+        res = verify_device_kernels(
+            cfg, params, prompt[: min(len(prompt), 64)],
+            max_seq_len=args.max_seq_len, kv_quantized=args.kv_quant,
+            paged=args.paged, page_size=args.page_size,
+        )
+        print(format_report(res), file=sys.stderr)
+        if not res["ok"]:
+            return 3
 
     eng = Engine(
         cfg, params,

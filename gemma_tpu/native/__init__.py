@@ -68,7 +68,7 @@ def _load():
         lib.gt_repack_q4_0.argtypes = [u8p, i64, i64, u8p, u16p]
         lib.gt_repack_q8_0.argtypes = [u8p, i64, i64, i8p, u16p]
         lib.gt_repack_q4_k.argtypes = [u8p, i64, i64, u8p, u16p, u16p]
-        lib.gt_repack_q6_k.argtypes = [u8p, i64, i64, u8p, u8p, u16p]
+        lib.gt_repack_q6_k.argtypes = [u8p, i64, i64, i8p, u16p]
         for fn in (lib.gt_repack_q4_0, lib.gt_repack_q8_0, lib.gt_repack_q4_k,
                    lib.gt_repack_q6_k):
             fn.restype = ctypes.c_int
@@ -148,11 +148,10 @@ def repack(raw, t: GGMLType, shape: tuple[int, int]) -> dict[str, np.ndarray] | 
         )
         return {"qs": qs, "scales": _wide(sc), "offs": _wide(off)}
     if t == GGMLType.Q6_K:
-        qa = np.empty((K // 2, N), np.uint8)
-        qb = np.empty((K // 2, N), np.uint8)
+        qs = np.empty((K, N), np.int8)
         sc = np.empty((K // 16, N), np.uint16)
         lib.gt_repack_q6_k(
-            _ptr(buf, u8), N, K, _ptr(qa, u8), _ptr(qb, u8), _ptr(sc, ctypes.c_uint16)
+            _ptr(buf, u8), N, K, _ptr(qs, ctypes.c_int8), _ptr(sc, ctypes.c_uint16)
         )
-        return {"qa": qa, "qb": qb, "scales": _wide(sc)}
+        return {"qs": qs, "scales": _wide(sc)}
     return None

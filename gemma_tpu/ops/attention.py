@@ -44,6 +44,16 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+_FORCE_FALLBACK = False
+
+
+def set_force_fallback(flag: bool) -> None:
+    """Verification hook (utils.verify): route `attention()` through the
+    XLA path so the Pallas kernels can be diffed against it on-device."""
+    global _FORCE_FALLBACK
+    _FORCE_FALLBACK = flag
+
+
 # ---------------------------------------------------------------------------
 # XLA fallback (moved from models/gemma.py)
 # ---------------------------------------------------------------------------
@@ -426,7 +436,7 @@ def attention(
     B, T, Hq, D = q.shape
     Hkv, S = k.shape[1], k.shape[2]
     use_interpret = os.environ.get("GEMMA_TPU_INTERPRET_KERNELS") == "1"
-    on_kernel_path = not _interpret() or use_interpret
+    on_kernel_path = (not _interpret() or use_interpret) and not _FORCE_FALLBACK
     if on_kernel_path and decode_supported(T, S, Hq, Hkv, D):
         return decode_attention(
             q, k, v, kv_limit, attn_softcap, window,

@@ -187,12 +187,14 @@ def paged_decode_supported(cache, T: int, Hq: int) -> bool:
     pages (int8 pages are read in place with their scales)."""
     if T != 1:
         return False
+    from . import attention as _attn  # force-fallback verification hook
+
     D = cache.k_pages.shape[-1]
     Hkv = cache.k_pages.shape[2]
     on_kernel_path = (
         jax.default_backend() == "tpu"
         or os.environ.get("GEMMA_TPU_INTERPRET_KERNELS") == "1"
-    )
+    ) and not _attn._FORCE_FALLBACK
     return on_kernel_path and D % NUM_LANES == 0 and Hq % Hkv == 0
 
 

@@ -51,13 +51,15 @@ def _interpret() -> bool:
 
 
 def _group_scale(qf: jax.Array, scf: jax.Array) -> jax.Array:
-    """[bk, bn] f32 values x [bk/g, bn] per-group scales -> bf16 [bk, bn].
-    The broadcast lives inside the multiply (no materialized expansion)."""
+    """[bk, bn] f32 values x [bk/g, bn] per-group scales -> f32 [bk, bn].
+    The broadcast lives inside the multiply (no materialized expansion).
+    The result stays f32: the dot runs on f32 MXU operands — the 3-pass f32
+    MXU costs less at decode M than the VPU bf16-narrowing op it replaces
+    (ffn_down 31.8 -> 28.5 us, gate_up 65.6 -> 59.9 — bench_qmm_variants
+    'f32dot' vs 'rsc', TPU v5e)."""
     bk, bn = qf.shape
     G = scf.shape[0]
-    return (
-        (qf.reshape(G, bk // G, bn) * scf[:, None, :]).reshape(bk, bn)
-    ).astype(jnp.bfloat16)
+    return (qf.reshape(G, bk // G, bn) * scf[:, None, :]).reshape(bk, bn)
 
 
 def _init_acc(acc_ref):
@@ -85,14 +87,14 @@ def _q4_0_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, nsteps):
     _init_acc(acc_ref)
     w4 = pltpu.bitcast(qs_ref[...], jnp.int4)  # [bk, bn]
     w = _group_scale(w4.astype(jnp.float32), sc_ref[...])
-    _acc_step(acc_ref, x_ref[...].astype(jnp.bfloat16), w, nsteps, o_ref)
+    _acc_step(acc_ref, x_ref[...].astype(jnp.float32), w, nsteps, o_ref)
 
 
 def _q8_0_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, nsteps):
     _init_acc(acc_ref)
-    qf = qs_ref[...].astype(jnp.int32).astype(jnp.float32)
+    qf = qs_ref[...].astype(jnp.float32)
     w = _group_scale(qf, sc_ref[...])
-    _acc_step(acc_ref, x_ref[...].astype(jnp.bfloat16), w, nsteps, o_ref)
+    _acc_step(acc_ref, x_ref[...].astype(jnp.float32), w, nsteps, o_ref)
 
 
 def _q4_k_kernel(x_ref, xs_ref, qs_ref, sc_ref, off_ref, o_ref, acc_ref, *, nsteps):
@@ -105,16 +107,7 @@ def _q4_k_kernel(x_ref, xs_ref, qs_ref, sc_ref, off_ref, o_ref, acc_ref, *, nste
         xs_ref[...], off_ref[...],
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
-    _acc_step(acc_ref, x_ref[...].astype(jnp.bfloat16), w, nsteps, o_ref)
-
-
-def _q6_k_kernel(x_ref, qa_ref, qb_ref, sc_ref, o_ref, acc_ref, *, nsteps):
-    # 6-bit values as two int4 planes: q-32 = 8a + b, per-16 scales
-    _init_acc(acc_ref)
-    a4 = pltpu.bitcast(qa_ref[...], jnp.int4).astype(jnp.float32)
-    b4 = pltpu.bitcast(qb_ref[...], jnp.int4).astype(jnp.float32)
-    w = _group_scale(a4 * 8.0 + b4, sc_ref[...])
-    _acc_step(acc_ref, x_ref[...].astype(jnp.bfloat16), w, nsteps, o_ref)
+    _acc_step(acc_ref, x_ref[...].astype(jnp.float32), w, nsteps, o_ref)
 
 
 # ---------------------------------------------------------------------------
@@ -125,13 +118,13 @@ _FMT_ARRAYS = {
     "q4_0": ("qs", "scales"),
     "q8_0": ("qs", "scales"),
     "q4_k": ("qs", "scales", "offs"),
-    "q6_k": ("qa", "qb", "scales"),
+    "q6_k": ("qs", "scales"),  # int8 payload + per-16 scales: q8_0's kernel
 }
 _FMT_KERNELS = {
     "q4_0": _q4_0_kernel,
     "q8_0": _q8_0_kernel,
     "q4_k": _q4_k_kernel,
-    "q6_k": _q6_k_kernel,
+    "q6_k": _q8_0_kernel,
 }
 # Minimum K-tile: every array's sublane tile (qs: bk/2 rows, scales: bk/32)
 # must be >= 8 rows.

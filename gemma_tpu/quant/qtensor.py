@@ -40,13 +40,12 @@ q4_0   qs u8 [K/2, N] (signed q-8 pairs), scales f32 [K/32, N]       5.0
 q8_0   qs i8 [K, N],   scales f32 [K/32, N]                          9.0
 q4_k   qs u8 [K/2, N] (signed q-8 pairs), scales f32 [K/32, N],
        offs f32 [K/32, N]                                            6.0
-q6_k   qa u8 [K/2, N] (signed hi-3 pairs: a = (q-32)>>3),
-       qb u8 [K/2, N] (low-3 pairs: b = q-32-8a, in [0,7]),
-       scales f32 [K/16, N]; w = (8a+b)*sc                          10.0
+q6_k   qs i8 [K, N] (q-32 in [-32, 31]), scales f32 [K/16, N]        9.0
 ====== ============================================================ ======
 
-(q6_k trades bytes for the int4 fast path — it decorates a small minority
-of tensors in K-quant exports.)
+(q6_k rides the q8_0 kernel — int8 payload, one convert per weight; the
+round-2 two-int4-plane form was 10.0 bpw and needed two bitcasts + an
+8a+b recombine per weight.)
 """
 from __future__ import annotations
 
@@ -72,7 +71,7 @@ def store_f16(x: np.ndarray) -> np.ndarray:
 
 
 # payload array + K-rows-per-payload-row, per format (shape derivation)
-_PAYLOAD = {"q4_0": ("qs", 2), "q8_0": ("qs", 1), "q4_k": ("qs", 2), "q6_k": ("qa", 2)}
+_PAYLOAD = {"q4_0": ("qs", 2), "q8_0": ("qs", 1), "q4_k": ("qs", 2), "q6_k": ("qs", 1)}
 
 
 @jax.tree_util.register_pytree_node_class
@@ -173,6 +172,9 @@ def pack_q4_k(raw, shape) -> dict[str, np.ndarray]:
 
 
 def pack_q6_k(raw, shape) -> dict[str, np.ndarray]:
+    # device format v3: plain int8 payload (q-32) + per-16 scales — 9.0 bpw
+    # and the q8_0 kernel (one convert/weight) instead of the old two-int4-
+    # plane form (10.0 bpw, two bitcasts + a*8+b recombine).
     rows, cols = shape
     nsb = cols // 256
     b = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(rows, nsb, 210)
@@ -191,14 +193,8 @@ def pack_q6_k(raw, shape) -> dict[str, np.ndarray]:
         q[:, :, base + 32 : base + 64] = (lq[:, :, 32:] & 0x0F) | (((hq >> 2) & 3) << 4)
         q[:, :, base + 64 : base + 96] = (lq[:, :, :32] >> 4) | (((hq >> 4) & 3) << 4)
         q[:, :, base + 96 : base + 128] = (lq[:, :, 32:] >> 4) | (((hq >> 6) & 3) << 4)
-    qp = q.reshape(rows, cols).astype(np.int16) - 32  # [-32, 31]
-    a = qp >> 3  # [-4, 3] — fits a signed nibble
-    bb = qp - (a << 3)  # [0, 7]
-    return {
-        "qa": _pack_signed_pairs(_t(a)),
-        "qb": _pack_signed_pairs(_t(bb)),
-        "scales": store_f16(_t(eff_sc)),
-    }
+    qp = (q.reshape(rows, cols).astype(np.int16) - 32).astype(np.int8)  # [-32, 31]
+    return {"qs": _t(qp), "scales": store_f16(_t(eff_sc))}
 
 
 _PACKERS = {
@@ -267,9 +263,7 @@ def dequant_t(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
             off = a["offs"]
             x = (x.reshape(K // 32, 32, N) + off[:, None, :]).reshape(K, N)
     elif qt.fmt == "q6_k":
-        av = _unpack_signed_pairs(a["qa"]).astype(jnp.float32)
-        bv = _unpack_signed_pairs(a["qb"]).astype(jnp.float32)
-        q = av * 8.0 + bv
+        q = a["qs"].astype(jnp.float32)
         sc = a["scales"]  # f32 [K/16, N]
         x = (q.reshape(K // 16, 16, N) * sc[:, None, :]).reshape(K, N)
     else:

@@ -448,12 +448,15 @@ class Engine:
             return done.all()
 
         check_every = 1 if on_token is not None else max(1, eos_check_every)
+        sync_k = prof.sync_every()  # profiled runs: make spans device-honest
         t_dec = time.perf_counter()
         for i in range(budget):
             with prof.span("decode.dispatch"):
                 tok, logits, cache, key = self._step(
                     self.params, logits, key, cache, sampling=sampling
                 )
+                if sync_k and i % sync_k == sync_k - 1:
+                    jax.block_until_ready(tok)
             device_toks.append(tok)
             if eos_id is not None and (i + 1) % check_every == 0:
                 if drain():
@@ -484,6 +487,8 @@ class Engine:
         block = max(1, self.ecfg.decode_block)
         chunks = []
         remaining = max_new_tokens
+        sync_k = prof.sync_every()  # profiled runs: make spans device-honest
+        i = 0
         t_dec = time.perf_counter()
         while remaining > 0:
             n = min(block, remaining)
@@ -491,8 +496,11 @@ class Engine:
                 tb, logits, cache, key = self._block(
                     self.params, logits, key, cache, sampling=sampling, n=n
                 )
+                if sync_k and i % sync_k == sync_k - 1:
+                    jax.block_until_ready(tb)
             chunks.append(tb)
             remaining -= n
+            i += 1
         # concat on device; ONE host transfer at the end (a per-token fetch
         # pays the accelerator-tunnel round-trip latency per token)
         toks = np.asarray(jnp.concatenate(chunks, axis=1))

@@ -87,8 +87,7 @@ def make_params(
             }
         elif fmt == "q6_k":
             arrays = {
-                "qa": payload((cols // 2, rows), np.uint8),
-                "qb": payload((cols // 2, rows), np.uint8),
+                "qs": payload((cols, rows), np.int8),
                 "scales": scales((cols // 16, rows)),
             }
         else:

@@ -35,6 +35,7 @@ from dataclasses import dataclass, field
 @dataclass
 class _SpanStat:
     total_s: float = 0.0
+    excl_s: float = 0.0  # total minus time spent in nested spans
     count: int = 0
 
 
@@ -56,13 +57,31 @@ class _State:
     # peaks for the roofline report; override via set_peaks()
     peak_hbm_gbs: float = 819.0
     peak_flops: float = 197e12
+    # sampled-synchronous mode: the engine block_until_ready's every Nth
+    # dispatched decode program, so span groups measure true device time
+    # (async dispatch otherwise makes spans measure queueing only).
+    # 0 = off.
+    sync_every: int = 0
 
 
 _state = _State()
+_tls = threading.local()
 
 
-def enable() -> None:
+def enable(sync_every: int | None = None) -> None:
     _state.enabled = True
+    if sync_every is not None:
+        _state.sync_every = sync_every
+
+
+def set_sync_every(n: int) -> None:
+    _state.sync_every = n
+
+
+def sync_every() -> int:
+    """Engine hook: block_until_ready every Nth decode dispatch (0 = never).
+    Only meaningful while profiling is enabled."""
+    return _state.sync_every if _state.enabled else 0
 
 
 def disable() -> None:
@@ -97,18 +116,32 @@ def set_peaks(hbm_gbs: float | None = None, flops: float | None = None) -> None:
 
 @contextlib.contextmanager
 def span(name: str):
-    """Accumulating named interval (reference: _start/_stop_recording)."""
+    """Accumulating named interval (reference: _start/_stop_recording).
+
+    Nested spans are overlap-accounted like the reference's concurrently-
+    open-interval tracking (profiling.cpp:30-39): each span also records
+    EXCLUSIVE time (total minus nested spans on the same thread), so group
+    sums in the report reconcile with wall-clock instead of double-counting
+    parents and children."""
     if not _state.enabled:
         yield
         return
+    stack = getattr(_tls, "stack", None)
+    if stack is None:
+        stack = _tls.stack = []
+    stack.append(0.0)  # nested-child time accumulator for this span
     t0 = time.perf_counter()
     try:
         yield
     finally:
         dt = time.perf_counter() - t0
+        child = stack.pop()
+        if stack:
+            stack[-1] += dt
         with _state.lock:
             st = _state.spans[name]
             st.total_s += dt
+            st.excl_s += dt - child
             st.count += 1
 
 
@@ -138,20 +171,23 @@ def report(group_depth: int = 1) -> str:
     table."""
     lines: list[str] = []
     with _state.lock:
-        total = sum(s.total_s for s in _state.spans.values())
+        # exclusive sums reconcile with wall-clock (no parent/child double
+        # counting); per-span lines show both inclusive and exclusive
+        total = sum(s.excl_s for s in _state.spans.values())
         if _state.spans:
-            lines.append(f"== spans (total {total*1e3:.1f} ms) ==")
+            lines.append(f"== spans (exclusive total {total*1e3:.1f} ms) ==")
             groups: dict[str, list[tuple[str, _SpanStat]]] = collections.defaultdict(list)
             for name, st in _state.spans.items():
                 prefix = ".".join(name.split(".")[:group_depth])
                 groups[prefix].append((name, st))
-            for prefix in sorted(groups, key=lambda p: -sum(s.total_s for _, s in groups[p])):
-                gtotal = sum(s.total_s for _, s in groups[prefix])
+            for prefix in sorted(groups, key=lambda p: -sum(s.excl_s for _, s in groups[p])):
+                gtotal = sum(s.excl_s for _, s in groups[prefix])
                 pct = 100.0 * gtotal / total if total else 0.0
                 lines.append(f"[{prefix}] {gtotal*1e3:10.2f} ms  {pct:6.2f} %")
-                for name, st in sorted(groups[prefix], key=lambda kv: -kv[1].total_s):
+                for name, st in sorted(groups[prefix], key=lambda kv: -kv[1].excl_s):
                     lines.append(
-                        f"  {name:<40} {st.total_s*1e3:10.2f} ms  x{st.count:<6d}"
+                        f"  {name:<40} {st.excl_s*1e3:10.2f} ms excl "
+                        f"({st.total_s*1e3:.2f} incl)  x{st.count:<6d}"
                         f" {st.total_s/st.count*1e6:9.1f} us/call"
                     )
         if _state.counters:

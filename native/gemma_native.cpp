@@ -370,8 +370,11 @@ int gt_repack_q4_k(const uint8_t* raw, int64_t N, int64_t K, uint8_t* qs,
   return 0;
 }
 
-int gt_repack_q6_k(const uint8_t* raw, int64_t N, int64_t K, uint8_t* qa_out,
-                   uint8_t* qb_out, uint16_t* sc_out) {
+int gt_repack_q6_k(const uint8_t* raw, int64_t N, int64_t K, int8_t* qs_out,
+                   uint16_t* sc_out) {
+  // device format v3: plain int8 payload (q-32 in [-32, 31]) + per-16 f16
+  // scales — 9.0 bpw vs the old two-int4-plane 10.0, and the kernel is the
+  // q8_0 kernel (one convert) instead of two bitcasts + a recombine.
   int64_t nsb = K / 256;
   parallel_rows(N, [&](int64_t lo, int64_t hi) {
     uint8_t q[256];
@@ -384,13 +387,8 @@ int gt_repack_q6_k(const uint8_t* raw, int64_t N, int64_t K, uint8_t* qa_out,
         for (int t = 0; t < 16; ++t)
           sc_out[(s * 16 + t) * N + n] = f32_to_f16(d * (float)sc8[t]);
         q6k_values(b, b + 128, q);
-        for (int j = 0; j < 128; ++j) {  // K-pairs within the superblock
-          int q0 = (int)q[2 * j] - 32, q1 = (int)q[2 * j + 1] - 32;
-          int a0 = q0 >> 3, a1 = q1 >> 3;  // arithmetic: floor division by 8
-          int64_t idx = (s * 128 + j) * N + n;
-          qa_out[idx] = pack_pair(a0, a1);
-          qb_out[idx] = pack_pair(q0 - 8 * a0, q1 - 8 * a1);
-        }
+        for (int j = 0; j < 256; ++j)
+          qs_out[(s * 256 + j) * N + n] = (int8_t)((int)q[j] - 32);
       }
     }
   });

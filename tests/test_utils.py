@@ -205,3 +205,23 @@ def test_delta_ppl_gate_vs_ggml_reference(tmp_path):
             # tools/ppl_gate.py holds the absolute 0.05 on a realistic
             # model-sampled corpus (recorded in PARITY.md)
             assert abs(ppl_engine - ppl_ref) <= 1e-3 * ppl_ref, (gtype, ppl_engine, ppl_ref)
+
+
+def test_verify_device_kernels(tmp_path):
+    """Kernel-vs-XLA on-device verification (interpret mode on CPU)."""
+    import os
+
+    os.environ["GEMMA_TPU_INTERPRET_KERNELS"] = "1"
+    from gemma_tpu.gguf import GGMLType, GGUFReader
+    from gemma_tpu.models.params import load_params
+    from gemma_tpu.testing import TINY_CONFIG, make_gguf
+    from gemma_tpu.utils.verify import format_report, verify_device_kernels
+
+    path = make_gguf(tmp_path / "v.gguf", TINY_CONFIG, weight_type=GGMLType.Q4_0, seed=5)
+    cfg, params = load_params(GGUFReader(path))
+    res = verify_device_kernels(cfg, params, [1, 7, 300, 42], n_decode=3,
+                                max_seq_len=64)
+    assert res["ok"], format_report(res)
+    assert len(res["steps"]) == 4
+    # the two paths really must differ in implementation yet agree in value
+    assert res["max_abs"] >= 0.0

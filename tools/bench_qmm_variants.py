@@ -76,6 +76,18 @@ def _kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, nsteps, mode):
         )  # [G, M, bn]
         scf = _decode_f16(sc_ref[...]) if sc_ref.dtype == jnp.uint16 else sc_ref[...]
         acc_ref[...] += jnp.sum(out3 * scf[:, None, :], axis=0)
+    elif mode == "f32dot":
+        # skip the bf16 narrowing: dequant to f32 (2 ops) and feed the MXU
+        # f32 operands (3-pass MXU, but MXU time is small at M=8)
+        w4 = pltpu.bitcast(qs_ref[...], jnp.int4)
+        bk, bn = w4.shape
+        scf = _decode_f16(sc_ref[...]) if sc_ref.dtype == jnp.uint16 else sc_ref[...].astype(jnp.float32)
+        G = bk // 32
+        w = (w4.astype(jnp.float32).reshape(G, 32, bn) * scf[:, None, :]).reshape(bk, bn)
+        acc_ref[...] += jax.lax.dot_general(
+            x_ref[...].astype(jnp.float32), w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     else:
         w4 = pltpu.bitcast(qs_ref[...], jnp.int4)
         bk, bn = w4.shape
@@ -192,19 +204,21 @@ def measure(N, K, mode, sc_dtype, bk, bn, reps=5, r=48):
 
 
 def main():
-    shapes = [("ffn_down", 2048, 16384), ("gate_up", 32768, 2048)]
+    shapes = [
+        ("ffn_down", 2048, 16384),
+        ("gate_up", 32768, 2048),
+        ("attn_out", 2048, 2048),  # grid (1,1,1) at bk=bn=2048: no pipelining
+    ]
     configs = [
         ("stream", jnp.uint16, 2048, 2048),   # HBM ceiling at 4.5 bpw bytes
-        ("stream", jnp.float32, 2048, 2048),  # HBM ceiling at 5.0 bpw bytes
         ("rsc", jnp.float32, 2048, 2048),     # round-2 production kernel
-        ("rsc", jnp.bfloat16, 2048, 2048),    # bf16 scales (4.5 bpw, 1 convert)
-        ("rsc", jnp.uint16, 2048, 2048),      # exact f16 scales (4.5 bpw)
-        ("rsc", jnp.bfloat16, 1024, 2048),
-        ("rsc", jnp.bfloat16, 4096, 2048),
-        ("rsc", jnp.bfloat16, 2048, 1024),
-        ("rsc", jnp.bfloat16, 2048, 4096),
-        ("rscb", jnp.bfloat16, 2048, 2048),
-        ("gdot", jnp.float32, 2048, 1024),    # batched per-group dots
+        ("f32dot", jnp.float32, 2048, 2048),  # f32 MXU: skips the bf16 narrow
+        ("f32dot", jnp.float32, 2048, 1024),
+        ("f32dot", jnp.float32, 1024, 2048),
+        ("f32dot", jnp.float32, 1024, 1024),
+        ("rsc", jnp.float32, 1024, 2048),     # 2-step grids for small shapes
+        ("rsc", jnp.float32, 2048, 1024),
+        ("rsc", jnp.float32, 1024, 1024),
         ("noscale", jnp.float32, 2048, 2048), # scale-mul cost isolation
     ]
     only = sys.argv[1] if len(sys.argv) > 1 else None
