@@ -9,8 +9,9 @@ visible. `vs_baseline` is the fraction of the analytic per-chip HBM roofline
 achieved (BASELINE.md: the reference publishes no numbers; the target is
 >= 0.90 of roofline).
 
-Env overrides: BENCH_MODEL (gemma2b|gemma7b|tiny), BENCH_FMT (q4_0|q8_0|bf16),
-BENCH_TOKENS, BENCH_BATCH.
+Env overrides: BENCH_MODEL (gemma2b|gemma7b|tiny), BENCH_FMT (q4_0|q8_0|
+q4_k|q6_k|q4_k_m|bf16), BENCH_TOKENS, BENCH_BATCH. q4_k_m is the mixed
+recipe the reference serves (q4_k + q6_k attn_v/head, app.cpp:36).
 """
 from __future__ import annotations
 

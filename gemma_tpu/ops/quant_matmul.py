@@ -135,8 +135,11 @@ _FMT_XSUM_GROUP = {"q4_0": None, "q8_0": None, "q4_k": 32, "q6_k": None}
 
 def _pick_bk(K: int, fmt: str) -> int | None:
     # tall K-tiles win at decode (fewer accumulator revisits / bigger MXU
-    # feeds): 2048 > 1024 > 512 measured on the Gemma-2B shapes
-    for bk in (2048, 1024, 512, 256):
+    # feeds): 2048 > 1024 > 512 measured on the Gemma-2B shapes. Non-power-
+    # of-two 256-multiples serve Gemma-7B's K=3072 (bk=3072 beats falling
+    # to 1024); every candidate keeps the scale tile sublane-aligned
+    # (bk % 256 == 0 => bk/32 % 8 == 0).
+    for bk in (2048, 3072, 1024, 1536, 512, 768, 256):
         if bk >= _FMT_MIN_BK[fmt] and K % bk == 0:
             return bk
     return None
@@ -145,8 +148,9 @@ def _pick_bk(K: int, fmt: str) -> int | None:
 def _pick_bn(N: int) -> int | None:
     # bn = N (up to 2048) makes each weight block a fully contiguous row
     # span of the [K-granule, N] array — measured at the ffn_down decode
-    # shape: 31.5 us at bn=2048 vs 38.0 at bn=1024 (bench_qmm_variants)
-    for bn in (2048, 1024, 512, 256, 128):
+    # shape: 31.5 us at bn=2048 vs 38.0 at bn=1024 (bench_qmm_variants);
+    # 1536 serves N=3072 (Gemma-7B attn_out) better than 1024
+    for bn in (2048, 1536, 1024, 512, 256, 128):
         if N % bn == 0:
             return bn
     return None

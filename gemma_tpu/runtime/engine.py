@@ -302,16 +302,22 @@ class Engine:
         """Prefill one sequence into a throwaway bucket-sized cache and
         return (logits [vocab], k_seq, v_seq, scales..., length) for
         insertion into a serving cache slot (prefill/decode disaggregation:
-        the prefill graph never touches the decode batch)."""
+        the prefill graph never touches the decode batch). Long prompts
+        chunk when `prefill_chunk` is set, so admission never compiles a
+        prompt-length-sized program."""
         T = _bucket(len(prompt), self.ecfg.prefill_bucket_min)
         tmp = KVCache.create(
             self.cfg, 1, T, dtype=self.ecfg.kv_dtype, quantized=self.ecfg.kv_quantized
         )
-        toks = np.zeros((1, T), np.int32)
-        toks[0, : len(prompt)] = prompt
-        logits, tmp = self._prefill(
-            self.params, jnp.asarray(toks), jnp.asarray([len(prompt)], np.int32), tmp
-        )
+        chunk = self.ecfg.prefill_chunk
+        if chunk and len(prompt) > chunk:
+            logits, tmp = self.prefill_chunked([prompt], chunk, cache=tmp)
+        else:
+            toks = np.zeros((1, T), np.int32)
+            toks[0, : len(prompt)] = prompt
+            logits, tmp = self._prefill(
+                self.params, jnp.asarray(toks), jnp.asarray([len(prompt)], np.int32), tmp
+            )
         k_seq, v_seq = tmp.k[:, 0], tmp.v[:, 0]
         scales = (
             (tmp.k_scale[:, 0], tmp.v_scale[:, 0]) if tmp.quantized else (None, None)

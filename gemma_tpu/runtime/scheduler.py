@@ -59,15 +59,23 @@ class Scheduler:
         seed: int = 0,
         on_token: Callable[[Request, int], None] | None = None,
         prefill_engine: Engine | None = None,
+        admit_per_tick: int | None = None,
     ):
         """`prefill_engine` (optional) runs admission prefills on a different
         engine than the decode batch — prefill/decode disaggregation: the
         prefill side is compute-bound and bursty, the decode side latency-
         bound; its output transfers into the decode cache via
         `insert_sequence` (multihost.HostRoles picks which engine lives on
-        which host)."""
+        which host).
+
+        `admit_per_tick` caps admissions per decode tick: admission prefills
+        run synchronously inside the tick, so an unbounded burst (None) of N
+        free slots runs N prefills back-to-back before the batch decodes its
+        next token — capping trades a little occupancy ramp for first-token
+        latency of already-running requests."""
         self.engine = engine
         self.prefill_engine = prefill_engine or engine
+        self.admit_per_tick = admit_per_tick
         self.sampling = sampling
         self.on_token = on_token
         self.max_batch = engine.ecfg.max_batch
@@ -101,8 +109,11 @@ class Scheduler:
         return [b for b in range(self.max_batch) if b not in self.active]
 
     def _admit(self) -> None:
+        admitted = 0
         for slot in self._free_slots():
             if not self.pending:
+                break
+            if self.admit_per_tick is not None and admitted >= self.admit_per_tick:
                 break
             req = self.pending.popleft()
             if len(req.prompt) >= self.engine.ecfg.max_seq_len:
@@ -138,6 +149,7 @@ class Scheduler:
             self._logits = self._logits.at[slot].set(pre[0])
             req.slot = slot
             self.active[slot] = req
+            admitted += 1
 
     # -- one decode tick ---------------------------------------------------
     def step(self) -> list[tuple[str, int]]:

@@ -48,16 +48,24 @@ def make_params(
 
     Used for compile checks and throughput benchmarks at full model scale,
     where writing a multi-GB GGUF first would be wasted IO. `fmt` is a
-    QTensor format name or 'bf16'. With fill='zeros' payloads are zeros
-    (fast); scales are still nonzero so nothing degenerates.
+    QTensor format name, 'bf16', or 'q4_k_m' — the mixed llama.cpp Q4_K_M
+    recipe the reference actually serves (/root/reference/src/app.cpp:36):
+    q4_k matrices with q6_k attn_v and the q6_k tied embedding/output head.
+    With fill='zeros' payloads are zeros (fast); scales are still nonzero
+    so nothing degenerates.
     """
     import jax.numpy as jnp
 
     from .quant.qtensor import QTensor
 
     rng = np.random.default_rng(seed)
+    mixed = fmt == "q4_k_m"
 
-    def mat(rows: int, cols: int):
+    def mat(rows: int, cols: int, fmt_override: str | None = None):
+        fmt_ = fmt_override or ("q4_k" if mixed else fmt)
+        return _mat(rows, cols, fmt_)
+
+    def _mat(rows: int, cols: int, fmt):
         if fmt == "bf16":
             if fill == "zeros":
                 return np.zeros((rows, cols), dtype=jnp.bfloat16)
@@ -97,23 +105,30 @@ def make_params(
     def norm(d):
         return np.ones(d, np.float32)
 
+    def layer():
+        lp = {
+            "attn_output": mat(cfg.d_model, cfg.q_dim),
+            "ffn_gate_up": mat(2 * cfg.d_ff, cfg.d_model),
+            "ffn_down": mat(cfg.d_model, cfg.d_ff),
+            "attn_norm": norm(cfg.d_model),
+            "ffn_norm": norm(cfg.d_model),
+        }
+        if mixed:
+            # Q4_K_M: attn_v is q6_k, so q/k/v stay unfused (the loader's
+            # mixed-format fuse guard, params._maybe_fuse)
+            lp["attn_q"] = mat(cfg.q_dim, cfg.d_model)
+            lp["attn_k"] = mat(cfg.kv_dim, cfg.d_model)
+            lp["attn_v"] = mat(cfg.kv_dim, cfg.d_model, "q6_k")
+        else:
+            lp["attn_qkv"] = mat(cfg.q_dim + 2 * cfg.kv_dim, cfg.d_model)
+        return lp
+
     params = {
         # embedding/head padded to the 2048-aligned vocab, as load_params does
         "embed": mat(cfg.padded_vocab_size if fmt != "bf16" else cfg.vocab_size,
-                     cfg.d_model),
+                     cfg.d_model, "q6_k" if mixed else None),
         "final_norm": norm(cfg.d_model),
-        "layers": [
-            {
-                # fused projections, matching params.load_params(fuse_projections=True)
-                "attn_qkv": mat(cfg.q_dim + 2 * cfg.kv_dim, cfg.d_model),
-                "attn_output": mat(cfg.d_model, cfg.q_dim),
-                "ffn_gate_up": mat(2 * cfg.d_ff, cfg.d_model),
-                "ffn_down": mat(cfg.d_model, cfg.d_ff),
-                "attn_norm": norm(cfg.d_model),
-                "ffn_norm": norm(cfg.d_model),
-            }
-            for _ in range(cfg.n_layers)
-        ],
+        "layers": [layer() for _ in range(cfg.n_layers)],
     }
     return params
 

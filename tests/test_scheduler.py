@@ -121,3 +121,24 @@ def test_stats(engine):
     assert st["requests"] == 2
     assert st["total_tokens"] == 6
     assert st["p50_ttft_s"] is not None
+
+
+def test_admission_chunked_prefill(engine):
+    """Long prompts admit through chunked standalone prefill (bounded
+    compile shapes) and decode identically to the unchunked path."""
+    cfg, params = engine.cfg, engine.params
+    from gemma_tpu.runtime.scheduler import Request, Scheduler
+
+    prompt = list(range(1, 45))
+    base = Engine(cfg, params, EngineConfig(max_seq_len=128, max_batch=2,
+                                            donate_cache=False))
+    chunked = Engine(cfg, params, EngineConfig(max_seq_len=128, max_batch=2,
+                                               donate_cache=False,
+                                               prefill_chunk=16))
+    outs = {}
+    for name, eng in (("base", base), ("chunked", chunked)):
+        s = Scheduler(eng)
+        s.submit(Request("a", prompt, max_new_tokens=5))
+        s.run()
+        outs[name] = s.finished[0].tokens
+    assert outs["chunked"] == outs["base"] and len(outs["base"]) == 5

@@ -225,3 +225,29 @@ def test_verify_device_kernels(tmp_path):
     assert len(res["steps"]) == 4
     # the two paths really must differ in implementation yet agree in value
     assert res["max_abs"] >= 0.0
+
+
+def test_span_exclusive_accounting():
+    """Nested spans must not double-count: parent exclusive = total - child
+    (the reference's concurrently-open-interval tracking, profiling.cpp:30)."""
+    import time as _time
+
+    from gemma_tpu.utils import profiling as prof
+
+    prof.reset()
+    prof.enable()
+    try:
+        with prof.span("outer"):
+            _time.sleep(0.02)
+            with prof.span("inner"):
+                _time.sleep(0.03)
+        spans = prof._state.spans
+        outer, inner = spans["outer"], spans["inner"]
+        assert inner.excl_s == inner.total_s  # leaf: all exclusive
+        assert outer.total_s >= 0.05 - 1e-3
+        assert outer.excl_s == pytest.approx(outer.total_s - inner.total_s, abs=1e-6)
+        # exclusive sum reconciles with wall-clock of the outer region
+        assert (outer.excl_s + inner.excl_s) == pytest.approx(outer.total_s, abs=1e-6)
+    finally:
+        prof.disable()
+        prof.reset()

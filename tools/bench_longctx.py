@@ -71,12 +71,22 @@ def main() -> None:
 
     prompt = [2 + i % 1000 for i in range(args.prefill)]
     results = {}
-    for name, paged in (("dense", False), ("paged", True)):
+    # int8-KV variants prove config 3's promise: the fused kernels read
+    # int8 in place, so a long context should decode FASTER than bf16
+    for name, paged, kvq in (
+        ("dense", False, False),
+        ("paged", True, False),
+        ("dense_int8kv", False, True),
+        ("paged_int8kv", True, True),
+    ):
         eng = Engine(
             cfg, params,
             EngineConfig(
                 max_seq_len=args.ctx, max_batch=1,
-                paged=paged, page_size=args.page_size,
+                paged=paged, page_size=args.page_size, kv_quantized=kvq,
+                # long prompts prefill in fixed 512-token chunks: one
+                # compiled shape regardless of prompt length (config 4)
+                prefill_chunk=512,
             ),
         )
         tps = measure_decode(eng, prompt, args.tokens)
@@ -88,8 +98,7 @@ def main() -> None:
             {
                 "metric": f"longctx_decode_tokens_per_sec_{args.model}_{fmt}_ctx{args.ctx}",
                 "prefill_tokens": args.prefill,
-                "dense": results["dense"],
-                "paged": results["paged"],
+                **results,
                 "page_size": args.page_size,
                 "unit": "tokens/s",
             }

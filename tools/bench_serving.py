@@ -39,6 +39,8 @@ def main() -> None:
     ap.add_argument("--block", type=int, default=8)
     ap.add_argument("--max-seq-len", type=int, default=512)
     ap.add_argument("--paged", action="store_true")
+    ap.add_argument("--admit-per-tick", type=int, default=None,
+                    help="cap admissions per decode tick (TTFT vs ramp)")
     args = ap.parse_args()
 
     from gemma_tpu.models import GEMMA_2B, GEMMA_7B
@@ -78,7 +80,7 @@ def main() -> None:
     print(f"[+{time.time()-t0:.1f}s] compiled/warm", file=sys.stderr, flush=True)
 
     # measured run: full backlog submitted at t=0 (offline-throughput mode)
-    sched = Scheduler(eng)
+    sched = Scheduler(eng, admit_per_tick=args.admit_per_tick)
     for r in make_requests():
         sched.submit(r)
     t1 = time.monotonic()
@@ -99,6 +101,7 @@ def main() -> None:
                 "p99_ttft_s": round(stats["p99_ttft_s"], 4),
                 "block": args.block,
                 "wall_s": round(wall, 2),
+                "admit_per_tick": args.admit_per_tick,
             }
         )
     )
