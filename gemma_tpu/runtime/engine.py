@@ -60,9 +60,12 @@ class EngineConfig:
     # (which dominates through remote-attached accelerators) at the price
     # of a longer first compile. 1 = one program per token.
     decode_block: int = 8
-    # paged KV-cache (block tables over a shared page pool)
+    # paged KV-cache (block tables over a shared page pool). TPU wants
+    # big pages: each grid step of the paged kernel DMAs one (page, D)
+    # tile, so small pages are per-step-overhead-bound (7B @2K: ps=64
+    # paged decode runs 0.65x dense; ps=16 would be ~4x worse)
     paged: bool = False
-    page_size: int = 16
+    page_size: int = 64
     n_pages: int | None = None  # default: max_batch * max_seq_len / page_size
     # chunked prefill: prompts longer than this are prefilled in fixed
     # `prefill_chunk`-token pieces (one compiled shape regardless of prompt
