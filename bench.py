@@ -69,6 +69,7 @@ def main() -> None:
     fmt = os.environ.get("BENCH_FMT", "q4_0")
     n_tokens = int(os.environ.get("BENCH_TOKENS", "128"))
     batch = int(os.environ.get("BENCH_BATCH", "1"))
+    block = int(os.environ.get("BENCH_BLOCK", "8"))
 
     cfg = {"gemma2b": GEMMA_2B, "gemma7b": GEMMA_7B, "tiny": TINY_CONFIG}[model]
     if model == "tiny":
@@ -81,7 +82,10 @@ def main() -> None:
     params = jax.device_put(params)
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[:1])
     _log("params on device")
-    eng = Engine(cfg, params, EngineConfig(max_seq_len=512, max_batch=batch))
+    eng = Engine(
+        cfg, params,
+        EngineConfig(max_seq_len=512, max_batch=batch, decode_block=block),
+    )
 
     prompt = list(range(2, 2 + 64))
     prompts = [prompt] * batch

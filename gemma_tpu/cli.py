@@ -250,6 +250,51 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Offline-batch serving: read prompts (one per line), drive the
+    continuous-batching scheduler, print completions + stats. The serving
+    loop the reference cannot express (one hardcoded prompt per process,
+    gemma_model.cpp:548-575)."""
+    from .runtime import Engine, EngineConfig, Request, SamplingParams, serve
+
+    reader, cfg, params, tok = _load(args)
+    eng = Engine(
+        cfg, params,
+        EngineConfig(
+            max_seq_len=args.max_seq_len, max_batch=args.batch,
+            kv_quantized=args.kv_quant,
+            paged=args.paged, page_size=args.page_size,
+            prefill_chunk=args.prefill_chunk,
+        ),
+    )
+    lines = (
+        open(args.prompts_file, encoding="utf-8").read().splitlines()
+        if args.prompts_file
+        else [ln for ln in sys.stdin.read().splitlines()]
+    )
+    lines = [ln for ln in lines if ln.strip()]
+    eos = tok.special.eos if args.eos else None
+    reqs = [
+        Request(f"r{i}", tok.encode(ln), max_new_tokens=args.max_new_tokens,
+                eos_id=eos)
+        for i, ln in enumerate(lines)
+    ]
+    sampling = SamplingParams(
+        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p
+    )
+    t0 = time.monotonic()
+    sched = serve(eng, reqs, sampling=sampling, block=args.block, seed=args.seed)
+    wall = time.monotonic() - t0
+    for r in sorted(sched.finished, key=lambda r: int(r.id[1:])):
+        print(json.dumps({"id": r.id, "text": tok.decode(r.tokens),
+                          "tokens": len(r.tokens),
+                          "ttft_s": round(r.ttft, 4) if r.ttft else None}))
+    stats = sched.stats()
+    stats["wall_s"] = round(wall, 2)
+    print(json.dumps(stats), file=sys.stderr)
+    return 0
+
+
 def cmd_perplexity(args) -> int:
     from .utils.perplexity import evaluate
 
@@ -309,6 +354,26 @@ def build_parser() -> argparse.ArgumentParser:
                    help="UTF-8 text file (default: stdin)")
     p.add_argument("--window", type=int, default=512)
     p.set_defaults(fn=cmd_perplexity)
+
+    s = sub.add_parser("serve", help="batch-serve prompts (one per line) "
+                       "through the continuous-batching scheduler")
+    _add_common(s)
+    _add_engine_flags(s)
+    s.add_argument("--prompts-file", default=None,
+                   help="file of prompts, one per line (default: stdin)")
+    s.add_argument("--batch", type=int, default=8,
+                   help="decode slots (concurrent sequences)")
+    s.add_argument("--max-new-tokens", type=int, default=128)
+    s.add_argument("--block", type=int, default=8,
+                   help="decode tokens per dispatched program")
+    s.add_argument("--prefill-chunk", type=int, default=0,
+                   help="chunk admission prefills to this many tokens")
+    s.add_argument("--temperature", type=float, default=0.0)
+    s.add_argument("--top-k", type=int, default=0)
+    s.add_argument("--top-p", type=float, default=1.0)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--no-eos", dest="eos", action="store_false")
+    s.set_defaults(fn=cmd_serve)
     return ap
 
 

@@ -77,3 +77,19 @@ def test_bench_tiny(gguf_path, capsys):
     assert rc == 0
     res = json.loads(capsys.readouterr().out)
     assert res["value"] > 0
+
+
+def test_serve(gguf_path, tmp_path, capsys):
+    pf = tmp_path / "prompts.txt"
+    pf.write_text("hello world\nthe hello\nworld\n")
+    rc = cli.main([
+        "serve", str(gguf_path), "--prompts-file", str(pf),
+        "--batch", "2", "--max-new-tokens", "4", "--block", "2",
+        "--max-seq-len", "64", "--no-eos",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rows = [json.loads(ln) for ln in out]
+    assert len(rows) == 3
+    assert all(r["tokens"] == 4 for r in rows)
+    assert [r["id"] for r in rows] == ["r0", "r1", "r2"]
