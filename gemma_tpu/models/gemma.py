@@ -187,10 +187,16 @@ def forward(
     write_index: jax.Array,  # scalar chunk start (prefill) or [B] slots (decode)
     kv_limit: jax.Array,  # [B] valid lengths after write
     tp_axis: str | None = None,  # see decoder_layer; cfg must be local
+    logits_at: jax.Array | None = None,  # [B] row per seq; None = all rows
 ) -> tuple[jax.Array, KVCache]:
     """Full forward. Returns (logits [B, T, vocab] f32, updated cache).
     With `tp_axis`, the vocab dim of the returned logits is the LOCAL shard
-    (callers all_gather or fold it into sampling)."""
+    (callers all_gather or fold it into sampling).
+
+    `logits_at` selects ONE row per sequence before the output head —
+    prefill only needs the last token's logits, and the full head would be
+    a [T, vocab] matmul plus a T x vocab x 4-byte HBM write per call (2.1
+    GB at T=2048): returned logits are then [B, 1, vocab]."""
     x = _embed_lookup(params["embed"], tokens, tp_axis, cfg.act_dtype)
     x = (x.astype(jnp.float32) * (cfg.d_model**0.5)).astype(cfg.act_dtype)
     record("inp_embd", x)
@@ -202,6 +208,8 @@ def forward(
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     record("result_norm", x)
+    if logits_at is not None:
+        x = jnp.take_along_axis(x, logits_at[:, None, None], axis=1)  # [B, 1, d]
     # Tied output head: logits = x @ embed.T (reference: gemma_model.cpp:163)
     logits = linear(x, params.get("output", params["embed"]), out_dtype=jnp.float32)
     if tp_axis is None and logits.shape[-1] != cfg.vocab_size:

@@ -50,16 +50,20 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _group_scale(qf: jax.Array, scf: jax.Array) -> jax.Array:
-    """[bk, bn] f32 values x [bk/g, bn] per-group scales -> f32 [bk, bn].
+def _group_scale(qf: jax.Array, scf: jax.Array, f32dot: bool) -> jax.Array:
+    """[bk, bn] f32 values x [bk/g, bn] per-group scales -> [bk, bn].
     The broadcast lives inside the multiply (no materialized expansion).
-    The result stays f32: the dot runs on f32 MXU operands — the 3-pass f32
-    MXU costs less at decode M than the VPU bf16-narrowing op it replaces
-    (ffn_down 31.8 -> 28.5 us, gate_up 65.6 -> 59.9 — bench_qmm_variants
-    'f32dot' vs 'rsc', TPU v5e)."""
+
+    Dot-domain choice by M (the `f32dot` flag, set in the launcher):
+    * decode (small M): keep f32 and feed the MXU f32 operands — MXU time
+      is tiny at M<=16, and skipping the VPU bf16-narrowing op wins
+      (ffn_down 31.8 -> 28.5 us; bench_qmm_variants 'f32dot' vs 'rsc');
+    * prefill (large M): narrow to bf16 — the dot itself dominates there
+      and f32 MXU passes would halve prefill throughput."""
     bk, bn = qf.shape
     G = scf.shape[0]
-    return (qf.reshape(G, bk // G, bn) * scf[:, None, :]).reshape(bk, bn)
+    w = (qf.reshape(G, bk // G, bn) * scf[:, None, :]).reshape(bk, bn)
+    return w if f32dot else w.astype(jnp.bfloat16)
 
 
 def _init_acc(acc_ref):
@@ -68,7 +72,8 @@ def _init_acc(acc_ref):
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
 
-def _acc_step(acc_ref, x, w, nsteps, o_ref):
+def _acc_step(acc_ref, x_ref, w, nsteps, o_ref):
+    x = x_ref[...].astype(w.dtype)
     acc_ref[...] += jax.lax.dot_general(
         x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -82,32 +87,32 @@ def _acc_step(acc_ref, x, w, nsteps, o_ref):
 # Kernels — all weight refs are K-major tiles
 # ---------------------------------------------------------------------------
 
-def _q4_0_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, nsteps):
+def _q4_0_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, nsteps, f32dot):
     # payload is already (q-8) as signed int4: no zero-point term at all
     _init_acc(acc_ref)
     w4 = pltpu.bitcast(qs_ref[...], jnp.int4)  # [bk, bn]
-    w = _group_scale(w4.astype(jnp.float32), sc_ref[...])
-    _acc_step(acc_ref, x_ref[...].astype(jnp.float32), w, nsteps, o_ref)
+    w = _group_scale(w4.astype(jnp.float32), sc_ref[...], f32dot)
+    _acc_step(acc_ref, x_ref, w, nsteps, o_ref)
 
 
-def _q8_0_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, nsteps):
+def _q8_0_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, nsteps, f32dot):
     _init_acc(acc_ref)
     qf = qs_ref[...].astype(jnp.float32)
-    w = _group_scale(qf, sc_ref[...])
-    _acc_step(acc_ref, x_ref[...].astype(jnp.float32), w, nsteps, o_ref)
+    w = _group_scale(qf, sc_ref[...], f32dot)
+    _acc_step(acc_ref, x_ref, w, nsteps, o_ref)
 
 
-def _q4_k_kernel(x_ref, xs_ref, qs_ref, sc_ref, off_ref, o_ref, acc_ref, *, nsteps):
+def _q4_k_kernel(x_ref, xs_ref, qs_ref, sc_ref, off_ref, o_ref, acc_ref, *, nsteps, f32dot):
     # w = sc*(q-8) + (8sc - mn): the affine offset is rank-reduced to
     # y += xsum32 @ offs (one small MXU dot) instead of a per-element add.
     _init_acc(acc_ref)
     w4 = pltpu.bitcast(qs_ref[...], jnp.int4)
-    w = _group_scale(w4.astype(jnp.float32), sc_ref[...])
+    w = _group_scale(w4.astype(jnp.float32), sc_ref[...], f32dot)
     acc_ref[...] += jax.lax.dot_general(
         xs_ref[...], off_ref[...],
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
-    _acc_step(acc_ref, x_ref[...].astype(jnp.float32), w, nsteps, o_ref)
+    _acc_step(acc_ref, x_ref, w, nsteps, o_ref)
 
 
 # ---------------------------------------------------------------------------
@@ -213,7 +218,9 @@ def _qmm_call(x2d, xs, arrays, fmt, shape, keys, interpret):
 
     flops = 2 * M * N * K
     bytes_accessed = sum(int(arrays[k].size) * arrays[k].dtype.itemsize for k in keys)
-    kernel = functools.partial(_FMT_KERNELS[fmt], nsteps=nsteps)
+    # f32 MXU operands at decode M (skips the bf16 narrow); bf16 at prefill
+    # M where the dot dominates (f32 passes would halve prefill rate)
+    kernel = functools.partial(_FMT_KERNELS[fmt], nsteps=nsteps, f32dot=M <= 16)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -241,11 +248,14 @@ def quant_matmul(x: jax.Array, qt: QTensor) -> jax.Array:
     for d in lead:
         M *= d
     x2d = x.reshape(M, K)
-    # bucket M to a tile-friendly size
+    # bucket M to a tile-friendly size. The cap bounds VMEM; prefill wants
+    # it high — every M-step re-streams (and re-dequantizes) the whole
+    # weight tile sweep, so M/bm is a direct multiplier on prefill HBM
+    # traffic.
     bm = MIN_SUBLANE
     while bm < M:
         bm *= 2
-    bm = min(bm, 256)
+    bm = min(bm, 512)
     Mp = ((M + bm - 1) // bm) * bm
     if Mp != M:
         x2d = jnp.pad(x2d, ((0, Mp - M), (0, 0)))

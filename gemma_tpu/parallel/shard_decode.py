@@ -284,13 +284,12 @@ class TPEngine:
             logits, cache = gemma.forward(
                 params, lcfg, tokens, positions, cache,
                 write_index=jnp.asarray(0, jnp.int32), kv_limit=lengths,
-                tp_axis=MODEL_AXIS,
+                tp_axis=MODEL_AXIS, logits_at=lengths - 1,
             )
             cache = dataclasses.replace(cache, length=lengths)
-            last = jnp.take_along_axis(logits, (lengths - 1)[:, None, None], axis=1)
             # assemble full logits (vocab shards are contiguous slices),
             # dropping any vocab-padding rows (params.py pad_vocab)
-            full = jax.lax.all_gather(last[:, 0], MODEL_AXIS, axis=1, tiled=True)
+            full = jax.lax.all_gather(logits[:, 0], MODEL_AXIS, axis=1, tiled=True)
             return full[:, : cfg.vocab_size], cache
 
         def decode_local(params, tokens, cache):

@@ -177,10 +177,10 @@ class Engine:
         logits, cache = gemma.forward(
             params, self.cfg, tokens, positions, cache,
             write_index=jnp.asarray(0, jnp.int32), kv_limit=lengths,
+            logits_at=lengths - 1,
         )
         cache = dataclasses.replace(cache, length=lengths)
-        last = jnp.take_along_axis(logits, (lengths - 1)[:, None, None], axis=1)
-        return last[:, 0], cache
+        return logits[:, 0], cache
 
     def _decode_impl(self, params, tokens, cache: KVCache):
         """tokens [B] current tokens; appends one position per sequence."""
@@ -224,15 +224,14 @@ class Engine:
         never syncs between chunks."""
         B, C = tokens.shape
         positions = start + jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32), (B, C))
+        idx = jnp.clip(lengths - 1 - start, 0, C - 1)
         logits, cache = gemma.forward(
             params, self.cfg, tokens, positions, cache,
-            write_index=start, kv_limit=kv_limit,
+            write_index=start, kv_limit=kv_limit, logits_at=idx,
         )
         cache = dataclasses.replace(cache, length=kv_limit)
-        idx = jnp.clip(lengths - 1 - start, 0, C - 1)
-        this_last = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
         in_chunk = (lengths - 1 >= start) & (lengths - 1 < start + C)
-        last = jnp.where(in_chunk[:, None], this_last, prev_last)
+        last = jnp.where(in_chunk[:, None], logits[:, 0], prev_last)
         return last, cache
 
     # -- public API --------------------------------------------------------
@@ -375,17 +374,22 @@ class Engine:
 
     def capture_activations(self, prompt: list[int], patterns=("*",)):
         """Golden-diff hook: run one un-jitted prefill while capturing named
-        activations (utils.tensor_dump). Returns (logits, {name: array})."""
+        activations (utils.tensor_dump). Returns (logits, {name: array}).
+        Computes the FULL [T, vocab] logits (logits_at=None), since golden
+        diffs compare every position against the reference."""
         from ..utils import tensor_dump
 
+        T = _bucket(len(prompt), self.ecfg.prefill_bucket_min)
+        toks = np.zeros((1, T), np.int32)
+        toks[0, : len(prompt)] = prompt
+        positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (1, T))
         with tensor_dump.capture(patterns) as cap:
-            logits, _ = self._prefill_impl(
-                self.params,
-                jnp.asarray([prompt], jnp.int32),
-                jnp.asarray([len(prompt)], jnp.int32),
-                self.new_cache(1),
+            logits, _ = gemma.forward(
+                self.params, self.cfg, jnp.asarray(toks), positions,
+                self.new_cache(1), write_index=jnp.asarray(0, jnp.int32),
+                kv_limit=jnp.asarray([len(prompt)], jnp.int32),
             )
-        return np.asarray(logits), cap.values
+        return np.asarray(logits[0]), cap.values
 
     def generate(
         self,
