@@ -295,6 +295,60 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_quantize(args) -> int:
+    """Re-quantize a GGUF checkpoint natively (the role llama.cpp's
+    `quantize` tool plays in the reference's ecosystem — the reference
+    itself can only consume pre-quantized files, app.cpp:36).
+
+    2-D matrices quantize to --type (or the mixed q4_k_m recipe: q4_k with
+    q6_k attn_v + embedding/head); 1-D norms and any matrix whose row
+    length doesn't divide the block size stay f32."""
+    import numpy as np
+
+    from .gguf.constants import GGMLType
+    from .gguf.reader import GGUFReader
+    from .gguf.writer import GGUFWriter
+    from .quant import numpy_ref
+
+    t0 = time.time()
+    reader = GGUFReader(args.model)
+    w = GGUFWriter(args.out)
+    for k, v in reader.metadata.items():
+        w.add_kv(k, v)
+
+    name_to_type = {
+        "q4_0": GGMLType.Q4_0, "q8_0": GGMLType.Q8_0,
+        "q4_k": GGMLType.Q4_K, "q6_k": GGMLType.Q6_K, "f16": GGMLType.F16,
+    }
+    mixed = args.type == "q4_k_m"
+    base = GGMLType.Q4_K if mixed else name_to_type[args.type]
+    block = {GGMLType.Q4_0: 32, GGMLType.Q8_0: 32, GGMLType.Q4_K: 256,
+             GGMLType.Q6_K: 256, GGMLType.F16: 1}
+
+    n_q = 0
+    for ti in reader:
+        from . import native
+
+        raw = reader.tensor_raw(ti.name)
+        x = native.dequantize(raw, ti.ggml_type, ti.shape)
+        if x is None:
+            x = numpy_ref.dequantize(raw, ti.ggml_type, ti.shape)
+        x = np.asarray(x, np.float32)
+        t = base
+        if mixed and (ti.name in ("token_embd.weight", "output.weight")
+                      or ti.name.endswith("attn_v.weight")):
+            t = GGMLType.Q6_K
+        if x.ndim != 2 or x.shape[-1] % block[t] != 0:
+            w.add_tensor(ti.name, x, tuple(x.shape), GGMLType.F32)
+            continue
+        w.add_tensor(ti.name, numpy_ref.quantize(x, t), tuple(x.shape), t)
+        n_q += 1
+    w.write()
+    print(f"quantized {n_q} matrices -> {args.out} "
+          f"({args.type}) in {time.time()-t0:.1f}s", file=sys.stderr)
+    return 0
+
+
 def cmd_perplexity(args) -> int:
     from .utils.perplexity import evaluate
 
@@ -374,6 +428,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--no-eos", dest="eos", action="store_false")
     s.set_defaults(fn=cmd_serve)
+
+    q = sub.add_parser("quantize", help="re-quantize a checkpoint natively")
+    q.add_argument("model", help="source GGUF (any format)")
+    q.add_argument("out", help="output GGUF path")
+    q.add_argument("--type", default="q4_0",
+                   choices=("q4_0", "q8_0", "q4_k", "q6_k", "q4_k_m", "f16"))
+    q.set_defaults(fn=cmd_quantize)
     return ap
 
 

@@ -93,3 +93,40 @@ def test_serve(gguf_path, tmp_path, capsys):
     assert len(rows) == 3
     assert all(r["tokens"] == 4 for r in rows)
     assert [r["id"] for r in rows] == ["r0", "r1", "r2"]
+
+
+def test_quantize_roundtrip(tmp_path, capsys):
+    """Native re-quantization: f32 GGUF -> q4_0 GGUF -> same greedy tokens
+    as loading the f32 checkpoint and quantizing in-process."""
+    from gemma_tpu.gguf import GGMLType, GGUFReader
+    from gemma_tpu.models import load_params
+    from gemma_tpu.runtime import Engine, EngineConfig
+
+    cfg_path = make_gguf(tmp_path / "f32.gguf", TINY_CONFIG,
+                         weight_type=GGMLType.F32, seed=3)
+    out = tmp_path / "q4.gguf"
+    rc = cli.main(["quantize", str(cfg_path), str(out), "--type", "q4_0"])
+    assert rc == 0
+    r = GGUFReader(out)
+    assert r.tensors["token_embd.weight"].ggml_type == GGMLType.Q4_0
+    assert r.tensors["output_norm.weight"].ggml_type == GGMLType.F32
+    # vocab metadata survived the round trip
+    cfg, params = load_params(r)
+    eng = Engine(cfg, params, EngineConfig(max_seq_len=64, donate_cache=False))
+    toks = eng.generate([[1, 7, 33]], 4)[0]
+    assert len(toks) == 4 and all(0 <= t < cfg.vocab_size for t in toks)
+
+
+def test_quantize_mixed_q4_k_m(tmp_path):
+    from gemma_tpu.gguf import GGMLType, GGUFReader
+    from gemma_tpu.models.config import GemmaConfig
+
+    cfg = GemmaConfig(vocab_size=512, d_model=256, n_layers=1, n_heads=2,
+                      n_kv_heads=1, head_dim=128, d_ff=512, context_length=64)
+    src = make_gguf(tmp_path / "src.gguf", cfg, weight_type=GGMLType.F32)
+    out = tmp_path / "m.gguf"
+    assert cli.main(["quantize", str(src), str(out), "--type", "q4_k_m"]) == 0
+    r = GGUFReader(out)
+    assert r.tensors["token_embd.weight"].ggml_type == GGMLType.Q6_K
+    assert r.tensors["blk.0.attn_v.weight"].ggml_type == GGMLType.Q6_K
+    assert r.tensors["blk.0.ffn_down.weight"].ggml_type == GGMLType.Q4_K
