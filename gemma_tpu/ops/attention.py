@@ -221,6 +221,16 @@ def flash_supported(T: int, S: int, D: int) -> bool:
     return T % DEFAULT_BLOCK_Q == 0 and S % DEFAULT_BLOCK_S == 0 and D % NUM_LANES == 0
 
 
+def _pick_flash_blocks(T: int, S: int) -> tuple[int, int]:
+    """Largest 128-multiple tiles up to 512 dividing T/S: per-grid-step
+    overhead dominates small tiles (2K causal, Gemma-2B heads, measured
+    us/layer — tools/bench_flash.py: 128x128 = 1118, 256x256 = 475,
+    512x512 = 228; VMEM at 512x512 is ~3 MB/step)."""
+    bq = next((b for b in (512, 256, 128) if T % b == 0), T)
+    bs = next((b for b in (512, 256, 128) if S % b == 0), S)
+    return bq, bs
+
+
 def flash_attention(
     q: jax.Array,  # [B, T, Hq, D] scaled
     k: jax.Array,  # [B, Hkv, S, D] (cache layout)
@@ -229,9 +239,14 @@ def flash_attention(
     kv_limit: jax.Array,  # [B]
     attn_softcap: float = 0.0,
     window: int = 0,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_s: int = DEFAULT_BLOCK_S,
+    block_q: int | None = None,
+    block_s: int | None = None,
 ) -> jax.Array:
+    T, S = q.shape[1], k.shape[2]
+    if block_q is None or block_s is None:
+        pq, ps = _pick_flash_blocks(T, S)
+        block_q = block_q or pq
+        block_s = block_s or ps
     q_bhtd = q.transpose(0, 2, 1, 3)
     out = _flash_call(
         q_bhtd, k, v,
