@@ -39,6 +39,8 @@ def main() -> None:
     ap.add_argument("--block", type=int, default=8)
     ap.add_argument("--max-seq-len", type=int, default=512)
     ap.add_argument("--paged", action="store_true")
+    ap.add_argument("--kv-quant", action="store_true",
+                    help="int8 KV-cache (config 3: flash + INT8 KV)")
     ap.add_argument("--admit-per-tick", type=int, default=None,
                     help="cap admissions per decode tick (TTFT vs ramp)")
     args = ap.parse_args()
@@ -58,7 +60,8 @@ def main() -> None:
     eng = Engine(
         cfg, params,
         EngineConfig(
-            max_seq_len=args.max_seq_len, max_batch=args.batch, paged=args.paged
+            max_seq_len=args.max_seq_len, max_batch=args.batch,
+            paged=args.paged, kv_quantized=args.kv_quant,
         ),
     )
 
@@ -102,6 +105,7 @@ def main() -> None:
                 "block": args.block,
                 "wall_s": round(wall, 2),
                 "admit_per_tick": args.admit_per_tick,
+                "kv_quant": args.kv_quant,
             }
         )
     )
