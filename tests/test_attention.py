@@ -161,3 +161,18 @@ def test_flash_rows_before_any_key():
     kv_limit = jnp.asarray([1], jnp.int32)  # only key 0 valid
     out = np.asarray(flash_attention(q, k, v, positions, kv_limit), np.float32)
     assert np.isfinite(out).all()
+
+
+def test_tile_policies():
+    """Tile-pick policies encode the measured sweeps (BENCHMARKS.md)."""
+    from gemma_tpu.ops.attention import _pick_decode_block_s, _pick_flash_blocks
+
+    # decode: short caches keep 256 (pipelining); long caches take 1024
+    assert _pick_decode_block_s(512) == 256
+    assert _pick_decode_block_s(4096) == 1024
+    assert _pick_decode_block_s(8192) == 1024
+    assert _pick_decode_block_s(96) == 96  # odd short cache: whole-S
+    # flash: largest 128-multiple up to 512
+    assert _pick_flash_blocks(2048, 2048) == (512, 512)
+    assert _pick_flash_blocks(128, 256) == (128, 256)
+    assert _pick_flash_blocks(384, 640) == (128, 128)
