@@ -74,6 +74,26 @@ def _load(args, need_tokenizer: bool = True):
     return reader, cfg, params, tok
 
 
+def _maybe_verify(args, cfg, params, prompt: list[int] | None = None) -> bool:
+    """Run the on-device Pallas-vs-XLA kernel diff when --verify is set
+    (honored by generate, bench, AND serve — a correctness gate that only
+    fires on one subcommand is false assurance on the others). Returns
+    False on mismatch."""
+    if not getattr(args, "verify", False):
+        return True
+    from .utils.verify import format_report, verify_device_kernels
+
+    if prompt is None:
+        prompt = [2 + (i % max(2, cfg.vocab_size - 2)) for i in range(64)]
+    res = verify_device_kernels(
+        cfg, params, prompt[: min(len(prompt), 64)],
+        max_seq_len=args.max_seq_len, kv_quantized=args.kv_quant,
+        paged=args.paged, page_size=args.page_size,
+    )
+    print(format_report(res), file=sys.stderr)
+    return bool(res["ok"])
+
+
 def cmd_generate(args) -> int:
     from .runtime import Engine, EngineConfig
     from .runtime.sampler import SamplingParams
@@ -93,17 +113,8 @@ def cmd_generate(args) -> int:
               f"--max-seq-len {args.max_seq_len}", file=sys.stderr)
         return 2
 
-    if args.verify:
-        from .utils.verify import format_report, verify_device_kernels
-
-        res = verify_device_kernels(
-            cfg, params, prompt[: min(len(prompt), 64)],
-            max_seq_len=args.max_seq_len, kv_quantized=args.kv_quant,
-            paged=args.paged, page_size=args.page_size,
-        )
-        print(format_report(res), file=sys.stderr)
-        if not res["ok"]:
-            return 3
+    if not _maybe_verify(args, cfg, params, prompt):
+        return 3
 
     eng = Engine(
         cfg, params,
@@ -213,6 +224,8 @@ def cmd_bench(args) -> int:
     from .runtime import Engine, EngineConfig
 
     reader, cfg, params, tok = _load(args)
+    if not _maybe_verify(args, cfg, params):
+        return 3
     eng = Engine(
         cfg, params,
         EngineConfig(
@@ -258,6 +271,8 @@ def cmd_serve(args) -> int:
     from .runtime import Engine, EngineConfig, Request, SamplingParams, serve
 
     reader, cfg, params, tok = _load(args)
+    if not _maybe_verify(args, cfg, params):
+        return 3
     eng = Engine(
         cfg, params,
         EngineConfig(
@@ -313,8 +328,14 @@ def cmd_quantize(args) -> int:
     t0 = time.time()
     reader = GGUFReader(args.model)
     w = GGUFWriter(args.out)
+    # llama.cpp LLAMA_FTYPE_* values: the output must advertise ITS quant
+    # type, not the source's (downstream tooling reads general.file_type)
+    ftype = {"f16": 1, "q4_0": 2, "q8_0": 7, "q4_k": 14, "q4_k_m": 15,
+             "q6_k": 18}[args.type]
     for k, v in reader.metadata.items():
-        w.add_kv(k, v)
+        w.add_kv(k, np.uint32(ftype) if k == "general.file_type" else v)
+    if "general.file_type" not in reader.metadata:
+        w.add_kv("general.file_type", np.uint32(ftype))
 
     name_to_type = {
         "q4_0": GGMLType.Q4_0, "q8_0": GGMLType.Q8_0,

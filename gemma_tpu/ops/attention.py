@@ -421,7 +421,9 @@ def decode_attention(
         qg, k, v, k_scale, v_scale, kv_limit.astype(jnp.int32),
         block_s, int(window), float(attn_softcap), _interpret(),
     )
-    return out[:, :, :G].reshape(B, 1, Hq, D).astype(jnp.bfloat16)
+    # q.dtype (not hardcoded bf16) so kernel and sdpa_xla fallback return
+    # the same dtype for f32-activation configs
+    return out[:, :, :G].reshape(B, 1, Hq, D).astype(q.dtype)
 
 
 def _pick_decode_block_s(S: int) -> int:

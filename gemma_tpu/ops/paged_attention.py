@@ -223,4 +223,7 @@ def paged_decode_attention(
         cache.page_table.astype(jnp.int32), kv_limit.astype(jnp.int32),
         float(attn_softcap), int(window), _interpret(),
     )
-    return out[:, :, :G].reshape(B, 1, Hq, D).astype(jnp.bfloat16)
+    # cast back to the query dtype so the kernel path and the sdpa_xla
+    # fallback agree for f32-activation configs (int8-KV callers still get
+    # bf16 since q is bf16 there)
+    return out[:, :, :G].reshape(B, 1, Hq, D).astype(q.dtype)

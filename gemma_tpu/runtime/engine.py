@@ -308,6 +308,12 @@ class Engine:
         chunk when `prefill_chunk` is set, so admission never compiles a
         prompt-length-sized program."""
         T = _bucket(len(prompt), self.ecfg.prefill_bucket_min)
+        if self.ecfg.paged:
+            # paged insert reshapes the [.., T, ..] chunk into whole pages:
+            # T must be a page_size multiple or a short prompt (T < page_size)
+            # would produce zero pages and a failing reshape
+            ps = self.ecfg.page_size
+            T = -(-T // ps) * ps
         tmp = KVCache.create(
             self.cfg, 1, T, dtype=self.ecfg.kv_dtype, quantized=self.ecfg.kv_quantized
         )

@@ -112,6 +112,21 @@ def test_blocked_stepping_paged(engine):
     assert run(paged, 4) == run(engine, 1)
 
 
+def test_paged_short_prompt_admission(engine):
+    """Regression (ADVICE r3): page_size > prefill bucket used to make the
+    paged insert reshape fail (n_pages = T // page_size = 0) for short
+    prompts; the standalone prefill bucket must round up to a page."""
+    paged = Engine(
+        engine.cfg, engine.params,
+        EngineConfig(max_seq_len=64, max_batch=2, donate_cache=False,
+                     paged=True, page_size=32),
+    )
+    sched = Scheduler(paged)
+    sched.submit(Request("short", PROMPTS["d"], max_new_tokens=4))  # 2 tokens
+    sched.run()
+    assert sched.finished[0].tokens == golden(engine, PROMPTS["d"], 4)
+
+
 def test_stats(engine):
     sched = Scheduler(engine)
     for rid in ("a", "b"):
