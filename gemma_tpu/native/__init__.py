@@ -67,8 +67,8 @@ def _load():
         lib.gt_dequant.restype = ctypes.c_int
         lib.gt_repack_q4_0.argtypes = [u8p, i64, i64, u8p, u16p]
         lib.gt_repack_q8_0.argtypes = [u8p, i64, i64, i8p, u16p]
-        lib.gt_repack_q4_k.argtypes = [u8p, i64, i64, u8p, u16p, u16p]
-        lib.gt_repack_q6_k.argtypes = [u8p, i64, i64, i8p, u16p]
+        lib.gt_repack_q4_k.argtypes = [u8p, i64, i64, u8p, i8p, i8p, u16p]
+        lib.gt_repack_q6_k.argtypes = [u8p, i64, i64, i8p, i8p, u16p]
         for fn in (lib.gt_repack_q4_0, lib.gt_repack_q8_0, lib.gt_repack_q4_k,
                    lib.gt_repack_q6_k):
             fn.restype = ctypes.c_int
@@ -114,9 +114,19 @@ def dequantize(raw, t: GGMLType, shape: tuple[int, ...]) -> np.ndarray | None:
 
 
 def _wide(sc_u16: np.ndarray) -> np.ndarray:
-    """f16-bit scales from the C++ repacker -> exact f32 (qtensor layout v2
-    stores scales as f32; see quant/qtensor.py docstring)."""
-    return np.ascontiguousarray(sc_u16.view(np.float16).astype(np.float32))
+    """f16-bit scales from the C++ repacker -> bf16 storage (qtensor layout
+    v4 stores scales as bf16; see quant/qtensor.py docstring)."""
+    from ..quant.qtensor import SCALE_DTYPE
+
+    return np.ascontiguousarray(sc_u16.view(np.float16).astype(SCALE_DTYPE))
+
+
+def _as_bf16(u16: np.ndarray) -> np.ndarray:
+    """Raw bf16 bits from the C++ repacker (hi/lo superscale arrays) ->
+    bf16 view; the C++ side already did the exact hi/lo split."""
+    from ..quant.qtensor import SCALE_DTYPE
+
+    return u16.view(SCALE_DTYPE)
 
 
 def repack(raw, t: GGMLType, shape: tuple[int, int]) -> dict[str, np.ndarray] | None:
@@ -140,18 +150,22 @@ def repack(raw, t: GGMLType, shape: tuple[int, int]) -> dict[str, np.ndarray] | 
         return {"qs": qs, "scales": _wide(sc)}
     if t == GGMLType.Q4_K:
         qs = np.empty((K // 2, N), np.uint8)
-        sc = np.empty((K // 32, N), np.uint16)
-        off = np.empty((K // 32, N), np.uint16)
+        sc6 = np.empty((K // 32, N), np.int8)
+        mn6 = np.empty((K // 32, N), np.int8)
+        dm = np.empty((K // 64, N), np.uint16)
         lib.gt_repack_q4_k(
             _ptr(buf, u8), N, K, _ptr(qs, u8),
-            _ptr(sc, ctypes.c_uint16), _ptr(off, ctypes.c_uint16),
+            _ptr(sc6, ctypes.c_int8), _ptr(mn6, ctypes.c_int8),
+            _ptr(dm, ctypes.c_uint16),
         )
-        return {"qs": qs, "scales": _wide(sc), "offs": _wide(off)}
+        return {"qs": qs, "sc6": sc6, "mn6": mn6, "dm": _as_bf16(dm)}
     if t == GGMLType.Q6_K:
         qs = np.empty((K, N), np.int8)
-        sc = np.empty((K // 16, N), np.uint16)
+        sc8 = np.empty((K // 16, N), np.int8)
+        d = np.empty((K // 64, N), np.uint16)
         lib.gt_repack_q6_k(
-            _ptr(buf, u8), N, K, _ptr(qs, ctypes.c_int8), _ptr(sc, ctypes.c_uint16)
+            _ptr(buf, u8), N, K, _ptr(qs, ctypes.c_int8),
+            _ptr(sc8, ctypes.c_int8), _ptr(d, ctypes.c_uint16),
         )
-        return {"qs": qs, "scales": _wide(sc)}
+        return {"qs": qs, "sc8": sc8, "d": _as_bf16(d)}
     return None

@@ -17,14 +17,16 @@ table in tools/bench_qmm_variants.py):
   — Mosaic fuses the broadcast into the multiply (a materialized [bk, bn]
   scale expansion measured ~8 % slower; bf16-domain multiplies ~35 %
   slower; batched per-group dots ~15 % slower — all kept in the variants
-  bench for re-measurement on new toolchains). Scales arrive as f32
-  (widened exactly from ggml's f16 at load): +11 % scale bytes but no
-  in-kernel f16-bit decode — measured net win at every decode shape;
+  bench for re-measurement on new toolchains). Metadata arrives in the
+  v4 layout (quant/qtensor.py): bf16 group scales for q4_0/q8_0 (one
+  widening convert on 1/32 of the elements) and exact int8 sub-scales +
+  bf16 superblock d/dmin for K-quants (effective scales computed here
+  in f32 — ~0.2 extra VPU ops/weight for 21 % fewer q4_k stream bytes);
 * grid is (M/bm, N/bn, K/bk), K sequential with an f32 VMEM accumulator;
   the zero-point is folded INTO the signed int4 payload for q4_0 (no
   correction term at all); q4_k's per-group affine offset enters as a
-  rank-reduced ``y += xsum32 @ offs`` (one tiny MXU dot); q6_k splits its
-  6-bit values into two int4 planes (w = (8a+b)*sc).
+  rank-reduced ``y += xsum32 @ offs`` (one tiny MXU dot); q6_k is int8
+  payload × per-16 effective scale (one convert + one multiply class).
 
 Dispatch: gemma_tpu.ops.linear routes QTensor matmuls here when shapes are
 tile-compatible; otherwise it falls back to XLA dequant+dot. On CPU the
@@ -53,6 +55,8 @@ def _interpret() -> bool:
 def _group_scale(qf: jax.Array, scf: jax.Array, f32dot: bool) -> jax.Array:
     """[bk, bn] f32 values x [bk/g, bn] per-group scales -> [bk, bn].
     The broadcast lives inside the multiply (no materialized expansion).
+    Scales arrive as bf16 (layout v4) and widen here — ONE vector convert
+    on 1/g of the payload elements, vs the halved metadata stream bytes.
 
     Dot-domain choice by M (the `f32dot` flag, set in the launcher):
     * decode (small M): keep f32 and feed the MXU f32 operands — MXU time
@@ -62,6 +66,7 @@ def _group_scale(qf: jax.Array, scf: jax.Array, f32dot: bool) -> jax.Array:
       and f32 MXU passes would halve prefill throughput."""
     bk, bn = qf.shape
     G = scf.shape[0]
+    scf = scf.astype(jnp.float32)
     w = (qf.reshape(G, bk // G, bn) * scf[:, None, :]).reshape(bk, bn)
     return w if f32dot else w.astype(jnp.bfloat16)
 
@@ -102,16 +107,42 @@ def _q8_0_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, nsteps, f32dot):
     _acc_step(acc_ref, x_ref, w, nsteps, o_ref)
 
 
-def _q4_k_kernel(x_ref, xs_ref, qs_ref, sc_ref, off_ref, o_ref, acc_ref, *, nsteps, f32dot):
-    # w = sc*(q-8) + (8sc - mn): the affine offset is rank-reduced to
-    # y += xsum32 @ offs (one small MXU dot) instead of a per-element add.
+def _q4_k_kernel(x_ref, xs_ref, qs_ref, sc6_ref, mn6_ref, dm_ref, o_ref, acc_ref, *, nsteps, f32dot):
+    # w = sc*(q-8) + (8sc - mn) with sc = d*sc6, mn = dmin*mn6 computed
+    # here in f32 from EXACT int8 sub-scales and the exact bf16 hi/lo
+    # d/dmin pair (qtensor.py layout v4) — bit-identical dequant to ggml.
+    # The affine offset is rank-reduced to y += xsum32 @ offs (one small
+    # MXU dot), not a per-element add. Extra VPU cost: ~8 ops on 1/32-size
+    # arrays = ~0.25 ops/weight, for 21 % fewer stream bytes than v3.
     _init_acc(acc_ref)
     w4 = pltpu.bitcast(qs_ref[...], jnp.int4)
-    w = _group_scale(w4.astype(jnp.float32), sc_ref[...], f32dot)
+    bk, bn = w4.shape
+    S = bk // 256
+    dm = dm_ref[...].astype(jnp.float32).reshape(S, 4, bn)
+    d = dm[:, 0:1, :] + dm[:, 2:3, :]
+    dmin = dm[:, 1:2, :] + dm[:, 3:4, :]
+    sc = (sc6_ref[...].astype(jnp.float32).reshape(S, 8, bn) * d).reshape(bk // 32, bn)
+    mn = (mn6_ref[...].astype(jnp.float32).reshape(S, 8, bn) * dmin).reshape(bk // 32, bn)
+    offs = 8.0 * sc - mn
+    w = _group_scale(w4.astype(jnp.float32), sc, f32dot)
     acc_ref[...] += jax.lax.dot_general(
-        xs_ref[...], off_ref[...],
+        xs_ref[...], offs,
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
+    _acc_step(acc_ref, x_ref, w, nsteps, o_ref)
+
+
+def _q6_k_kernel(x_ref, qs_ref, sc8_ref, d_ref, o_ref, acc_ref, *, nsteps, f32dot):
+    # effective per-16 scale d*sc8 computed in f32 from ggml's exact int8
+    # scales and the exact bf16 hi/lo d pair (qtensor.py layout v4)
+    _init_acc(acc_ref)
+    qf = qs_ref[...].astype(jnp.float32)
+    bk, bn = qf.shape
+    S = bk // 256
+    dv = d_ref[...].astype(jnp.float32).reshape(S, 4, bn)
+    d = dv[:, 0:1, :] + dv[:, 1:2, :]
+    sc = (sc8_ref[...].astype(jnp.float32).reshape(S, 16, bn) * d).reshape(bk // 16, bn)
+    w = _group_scale(qf, sc, f32dot)
     _acc_step(acc_ref, x_ref, w, nsteps, o_ref)
 
 
@@ -122,18 +153,23 @@ def _q4_k_kernel(x_ref, xs_ref, qs_ref, sc_ref, off_ref, o_ref, acc_ref, *, nste
 _FMT_ARRAYS = {
     "q4_0": ("qs", "scales"),
     "q8_0": ("qs", "scales"),
-    "q4_k": ("qs", "scales", "offs"),
-    "q6_k": ("qs", "scales"),  # int8 payload + per-16 scales: q8_0's kernel
+    "q4_k": ("qs", "sc6", "mn6", "dm"),
+    "q6_k": ("qs", "sc8", "d"),
 }
 _FMT_KERNELS = {
     "q4_0": _q4_0_kernel,
     "q8_0": _q8_0_kernel,
     "q4_k": _q4_k_kernel,
-    "q6_k": _q8_0_kernel,
+    "q6_k": _q6_k_kernel,
 }
-# Minimum K-tile: every array's sublane tile (qs: bk/2 rows, scales: bk/32)
-# must be >= 8 rows.
-_FMT_MIN_BK = {"q4_0": 256, "q8_0": 256, "q4_k": 256, "q6_k": 256}
+# Minimum K-tile alignment per format: every metadata array's K-tile
+# (bk * rows/K sublanes) must be a multiple of its dtype's native sublane
+# tile — 16 for bf16, 32 for int8. Binding constraints:
+#   q4_0/q8_0: bf16 scales [K/32, N]  -> bk % 512 == 0
+#   q4_k: int8 sc6/mn6 [K/32, N]      -> bk % 1024 == 0 (dm bf16 [K/64]
+#         needs bk % 1024 too)
+#   q6_k: bf16 d [K/64, N]            -> bk % 1024 == 0
+_FMT_BK_ALIGN = {"q4_0": 512, "q8_0": 512, "q4_k": 1024, "q6_k": 1024}
 # rank-reduced affine fold: group size of the xsum side input (None = none)
 _FMT_XSUM_GROUP = {"q4_0": None, "q8_0": None, "q4_k": 32, "q6_k": None}
 
@@ -141,11 +177,12 @@ _FMT_XSUM_GROUP = {"q4_0": None, "q8_0": None, "q4_k": 32, "q6_k": None}
 def _pick_bk(K: int, fmt: str) -> int | None:
     # tall K-tiles win at decode (fewer accumulator revisits / bigger MXU
     # feeds): 2048 > 1024 > 512 measured on the Gemma-2B shapes. Non-power-
-    # of-two 256-multiples serve Gemma-7B's K=3072 (bk=3072 beats falling
-    # to 1024); every candidate keeps the scale tile sublane-aligned
-    # (bk % 256 == 0 => bk/32 % 8 == 0).
+    # of-two multiples serve Gemma-7B's K=3072 (bk=3072 beats falling to
+    # 1024); every candidate must satisfy the per-format metadata tile
+    # alignment (_FMT_BK_ALIGN).
+    align = _FMT_BK_ALIGN[fmt]
     for bk in (2048, 3072, 1024, 1536, 512, 768, 256):
-        if bk >= _FMT_MIN_BK[fmt] and K % bk == 0:
+        if bk % align == 0 and K % bk == 0:
             return bk
     return None
 
@@ -173,8 +210,9 @@ def _warn_fallback(fmt: str, shape: tuple[int, int]) -> None:
 
     warnings.warn(
         f"QTensor {fmt}{list(shape)} is not kernel-tile-compatible; using the "
-        f"XLA dequant+dot fallback (slower). K must allow a {_FMT_MIN_BK[fmt]}+"
-        f" divisor tile and N a 128+ divisor tile.",
+        f"XLA dequant+dot fallback (slower). K must allow a "
+        f"{_FMT_BK_ALIGN[fmt]}-multiple divisor tile and N a 128+ "
+        f"divisor tile.",
         stacklevel=3,
     )
 
@@ -182,7 +220,7 @@ def _warn_fallback(fmt: str, shape: tuple[int, int]) -> None:
 def supports(x_shape: tuple[int, ...], qt: QTensor) -> bool:
     N, K = qt.shape
     return (
-        qt.fmt in _FMT_MIN_BK
+        qt.fmt in _FMT_BK_ALIGN
         and _pick_bk(K, qt.fmt) is not None
         and _pick_bn(N) is not None
     )

@@ -20,32 +20,41 @@ fused Pallas matmul (ops/quant_matmul.py):
   multiply per weight, no nibble shifts, no plane reordering (the round-1
   f32 extraction chain cost ~5 VPU ops/weight and capped decode at 37 % of
   the HBM roofline);
-* per-group metadata is flattened to one effective scale per 32-group
-  (per-16 for q6_k), stored as **f32** — the exact widening of ggml's f16
-  values (no precision change; for K-quants the one f16 rounding of d*sc
-  products is <= 2^-11 relative, three orders below the 4-bit quantization
-  noise). f32 costs ~11 % more HBM bytes than raw f16 bits but removes the
-  10-integer-op in-kernel f16 decode Mosaic would otherwise need (it has no
-  f16 vector type) — measured net win at every decode shape
-  (tools/bench_qmm_variants.py: ffn_down 38.0 -> 31.5 us). q4_k
-  additionally stores the per-group affine offset ``offs = 8*sc - min``
-  (rank-reduced in the kernel to one xsum dot).
+* per-group metadata (layout v4): decode tokens/s is HBM-bandwidth-bound
+  and metadata is pure stream bytes, so metadata width is decode time.
+  q4_0/q8_0 store their per-32 f16 scale rounded to **bf16** — widening
+  bf16 -> f32 in-kernel is ONE vector convert on a [bk/32, bn] tile (the
+  f32 form of layouts v2/v3 existed only because Mosaic has no f16 vector
+  type and an in-kernel f16-bit decode cost ~10 integer ops/scale; bf16
+  keeps the cheap decode AND halves metadata bytes — q4_0 lands on 4.5
+  bpw, exactly ggml's wire density). K-quants keep ggml's 6-bit/int8
+  sub-scales as EXACT int8 arrays and store the per-256-superblock f16
+  d (dmin) as an EXACT bf16 hi/lo pair (see ``_hi_lo``) in one K/64-
+  granularity array; the kernel reconstructs d = hi + lo and computes
+  effective scales d*sc in f32 — **bit-identical dequant to ggml** at
+  4.75 bpw (vs the f32-fold's 6.0). The cheaper-looking alternatives
+  both failed the ppl gate: one bf16 folded scale+offset rounds the
+  per-group affine offset, a *bias* (+0.37 ppl), and a single-bf16 d/dmin
+  biases via the min term, which is ~8x the scale term (+0.64 ppl).
+  q4_k's affine offset ``offs = 8*sc - mn`` is computed in-kernel and
+  rank-reduced to one xsum dot.
 
-Device formats (logical tensor is [N, K] = [out, in], ggml row-major):
+Device formats (logical tensor is [N, K] = [out, in], ggml row-major);
+ggml wire bpw for comparison: q4_0 4.5, q8_0 8.5, q4_k 4.5, q6_k 6.5625:
 
 ====== ============================================================ ======
 fmt    arrays                                                        bpw
 ====== ============================================================ ======
-q4_0   qs u8 [K/2, N] (signed q-8 pairs), scales f32 [K/32, N]       5.0
-q8_0   qs i8 [K, N],   scales f32 [K/32, N]                          9.0
-q4_k   qs u8 [K/2, N] (signed q-8 pairs), scales f32 [K/32, N],
-       offs f32 [K/32, N]                                            6.0
-q6_k   qs i8 [K, N] (q-32 in [-32, 31]), scales f32 [K/16, N]        9.0
+q4_0   qs u8 [K/2, N] (signed q-8 pairs), scales bf16 [K/32, N]      4.5
+q8_0   qs i8 [K, N],   scales bf16 [K/32, N]                         8.5
+q4_k   qs u8 [K/2, N] (signed q-8 pairs), sc6 i8 [K/32, N],
+       mn6 i8 [K/32, N], dm bf16 [K/64, N] (d/dmin hi-lo rows)       4.75
+q6_k   qs i8 [K, N] (q-32 in [-32, 31]), sc8 i8 [K/16, N],
+       d bf16 [K/64, N] (hi/lo pairs per superblock)                 8.75
 ====== ============================================================ ======
 
-(q6_k rides the q8_0 kernel — int8 payload, one convert per weight; the
-round-2 two-int4-plane form was 10.0 bpw and needed two bitcasts + an
-8a+b recombine per weight.)
+(prior layouts for the record: v1 f32-extraction 37 %-of-roofline; v2/v3
+f32 folded scales — q4_0 5.0 / q4_k 6.0 / q6_k 10.0 bpw.)
 """
 from __future__ import annotations
 
@@ -60,14 +69,29 @@ from ..gguf.constants import GGMLType
 from . import numpy_ref
 
 QGROUP = 32  # fine-grain scale group (ggml QK4_0/QK8_0 block size)
-# Scales are ggml f16 values widened exactly to f32 at load (see module
-# docstring for the bytes-vs-VPU tradeoff).
-SCALE_DTYPE = np.float32
+# Scales are ggml f16 values rounded to bf16 at load (see module docstring
+# for the bytes-vs-VPU tradeoff; ml_dtypes supplies numpy-side bf16).
+import ml_dtypes  # noqa: E402  (jax dependency, always present)
+
+SCALE_DTYPE = ml_dtypes.bfloat16
 
 
 def store_f16(x: np.ndarray) -> np.ndarray:
-    """Round to ggml's f16 scale grid, store as exact f32."""
-    return np.ascontiguousarray(x.astype(np.float16).astype(np.float32))
+    """Round to ggml's f16 scale grid, then to the bf16 storage grid."""
+    return np.ascontiguousarray(x.astype(np.float16).astype(SCALE_DTYPE))
+
+
+def _hi_lo(x16: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Split f16 values into an EXACT bf16 (hi, lo) pair: hi = bf16(x),
+    lo = bf16(x - hi). f16 has 11 mantissa bits; hi captures 8 and the
+    residual has <= 3 significant bits, so lo is exact and hi + lo == x
+    bit-for-bit in f32. Lets K-quant superblock d/dmin ride bf16 arrays
+    with zero precision loss (a single bf16 dmin measured +0.64 ppl on the
+    gate model — the min term is a per-group *bias* ~8x the scale term)."""
+    x32 = x16.astype(np.float32)
+    hi = x32.astype(SCALE_DTYPE)
+    lo = (x32 - hi.astype(np.float32)).astype(SCALE_DTYPE)
+    return hi, lo
 
 
 # payload array + K-rows-per-payload-row, per format (shape derivation)
@@ -142,22 +166,32 @@ def pack_q8_0(raw, shape) -> dict[str, np.ndarray]:
 
 
 def pack_q4_k(raw, shape) -> dict[str, np.ndarray]:
+    # K-quant v4 metadata: ggml's 6-bit sub-scales/mins stay EXACT int8
+    # arrays; only the per-superblock f16 d/dmin round to bf16. Folding
+    # d*sc into one bf16 effective scale (the v2/v3 form did this into f32)
+    # would make the per-32 affine offset a bf16-rounded *bias* — measured
+    # +0.37 ppl on the gate model. Exact ints + bf16 superscales carry the
+    # same <= 2^-9 multiplicative error as q4_0's bf16 scales (gate-passing)
+    # at 4.75 bpw vs the f32-fold's 6.0.
     rows, cols = shape
     nsb = cols // 256
     b = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(rows, nsb, 144)
-    d = b[:, :, 0:2].copy().view("<f2").astype(np.float32).reshape(rows, nsb)
-    dmin = b[:, :, 2:4].copy().view("<f2").astype(np.float32).reshape(rows, nsb)
+    d = b[:, :, 0:2].copy().view("<f2").reshape(rows, nsb)
+    dmin = b[:, :, 2:4].copy().view("<f2").reshape(rows, nsb)
     sc6, mn6 = numpy_ref._unpack_scale_min_k4(b[:, :, 4:16].reshape(-1, 12))
-    sc6 = sc6.reshape(rows, nsb, 8).astype(np.float32)
-    mn6 = mn6.reshape(rows, nsb, 8).astype(np.float32)
-    # effective per-32 scale (f16, matching what the kernel multiplies by)
-    # and affine offset: w = sc*q - mn = sc*(q-8) + (8*sc - mn)
-    sc_f16 = (d[:, :, None] * sc6).astype(np.float16)
-    mn_f16 = (dmin[:, :, None] * mn6).astype(np.float16)
-    offs = (
-        8.0 * sc_f16.astype(np.float32) - mn_f16.astype(np.float32)
-    ).reshape(rows, cols // 32)
-    eff_sc = sc_f16.reshape(rows, cols // 32).astype(np.float32)
+    sc6 = sc6.reshape(rows, nsb, 8).astype(np.int8)  # 0..63, exact
+    mn6 = mn6.reshape(rows, nsb, 8).astype(np.int8)
+    # dm [rows, K/64]: per superblock 4 K-granule rows =
+    # [d_hi, dmin_hi, d_lo, dmin_lo] — an exact bf16 hi/lo split of the
+    # f16 d/dmin (see _hi_lo); 4 rows also keep the bf16 tile
+    # 16-sublane-alignable at bk=1024+
+    d_hi, d_lo = _hi_lo(d)
+    mn_hi, mn_lo = _hi_lo(dmin)
+    dm = np.empty((rows, nsb, 4), dtype=SCALE_DTYPE)
+    dm[:, :, 0] = d_hi
+    dm[:, :, 1] = mn_hi
+    dm[:, :, 2] = d_lo
+    dm[:, :, 3] = mn_lo
     # ggml Q4_K nibble order: qs chunk c (32B) holds sub-block 2c in lo
     # nibbles (elements 64c..64c+31) and sub-block 2c+1 in hi nibbles.
     qs = b[:, :, 16:144].reshape(rows, nsb, 4, 32)
@@ -166,23 +200,33 @@ def pack_q4_k(raw, shape) -> dict[str, np.ndarray]:
     q = np.stack([lo, hi], axis=3).reshape(rows, cols).astype(np.int8) - 8
     return {
         "qs": _pack_signed_pairs(_t(q)),
-        "scales": store_f16(_t(eff_sc)),
-        "offs": store_f16(_t(offs)),
+        "sc6": _t(sc6.reshape(rows, cols // 32)),
+        "mn6": _t(mn6.reshape(rows, cols // 32)),
+        "dm": _t(dm.reshape(rows, cols // 64)),
     }
 
 
 def pack_q6_k(raw, shape) -> dict[str, np.ndarray]:
-    # device format v3: plain int8 payload (q-32) + per-16 scales — 9.0 bpw
-    # and the q8_0 kernel (one convert/weight) instead of the old two-int4-
-    # plane form (10.0 bpw, two bitcasts + a*8+b recombine).
+    # device format v4: plain int8 payload (q-32) + ggml's EXACT per-16
+    # int8 scales + per-superblock bf16 d (replicated to K/64 granularity
+    # for tile alignment) = 8.75 bpw. The kernel computes the effective
+    # scale d*sc8 in f32, so the only rounding vs ggml is bf16(d)
+    # (<= 2^-9 multiplicative). (The v3 f32 folded-scale form was 10.0 bpw
+    # — not the 9.0 its comments claimed — and a ppl-gate notch worse.)
     rows, cols = shape
     nsb = cols // 256
     b = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(rows, nsb, 210)
     ql = b[:, :, 0:128]
     qh = b[:, :, 128:192]
-    sc8 = b[:, :, 192:208].view(np.int8).astype(np.float32).reshape(rows, nsb, 16)
-    d = b[:, :, 208:210].copy().view("<f2").astype(np.float32).reshape(rows, nsb)
-    eff_sc = (d[:, :, None] * sc8).reshape(rows, cols // 16)  # per-16 scales
+    sc8 = b[:, :, 192:208].view(np.int8).reshape(rows, nsb, 16)
+    d = b[:, :, 208:210].copy().view("<f2").reshape(rows, nsb)
+    # 4 rows per superblock = [d_hi, d_lo, d_hi, d_lo]: exact bf16 hi/lo
+    # split of the f16 d (see _hi_lo)
+    d_hi, d_lo = _hi_lo(d)
+    d4 = np.empty((rows, nsb, 4), dtype=SCALE_DTYPE)
+    d4[:, :, 0::2] = d_hi[:, :, None]
+    d4[:, :, 1::2] = d_lo[:, :, None]
+    d4 = d4.reshape(rows, cols // 64)
     # Decode ggml's interleaved (ql, qh) into plain 6-bit values first.
     q = np.empty((rows, nsb, 256), dtype=np.uint8)
     for n in range(2):
@@ -194,7 +238,11 @@ def pack_q6_k(raw, shape) -> dict[str, np.ndarray]:
         q[:, :, base + 64 : base + 96] = (lq[:, :, :32] >> 4) | (((hq >> 4) & 3) << 4)
         q[:, :, base + 96 : base + 128] = (lq[:, :, 32:] >> 4) | (((hq >> 6) & 3) << 4)
     qp = (q.reshape(rows, cols).astype(np.int16) - 32).astype(np.int8)  # [-32, 31]
-    return {"qs": _t(qp), "scales": store_f16(_t(eff_sc))}
+    return {
+        "qs": _t(qp),
+        "sc8": _t(sc8.reshape(rows, cols // 16)),
+        "d": _t(d4),
+    }
 
 
 _PACKERS = {
@@ -253,18 +301,34 @@ def dequant_t(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     a = qt.arrays
     if qt.fmt == "q8_0":
         q = a["qs"].astype(jnp.float32).reshape(K // 32, 32, N)
-        sc = a["scales"]
+        sc = a["scales"].astype(jnp.float32)
         x = (q * sc[:, None, :]).reshape(K, N)
-    elif qt.fmt in ("q4_0", "q4_k"):
+    elif qt.fmt == "q4_0":
         q = _unpack_signed_pairs(a["qs"]).astype(jnp.float32)
-        sc = a["scales"]  # f32 [K/32, N]
+        sc = a["scales"].astype(jnp.float32)  # bf16 [K/32, N] widened
         x = (q.reshape(K // 32, 32, N) * sc[:, None, :]).reshape(K, N)
-        if qt.fmt == "q4_k":
-            off = a["offs"]
-            x = (x.reshape(K // 32, 32, N) + off[:, None, :]).reshape(K, N)
+    elif qt.fmt == "q4_k":
+        # w = sc*(q-8) + (8*sc - mn), sc = d*sc6, mn = dmin*mn6 — f32 math
+        # from exact int sub-scales and the exact bf16 hi/lo d/dmin pair:
+        # bit-identical to ggml's dequant arithmetic
+        q = _unpack_signed_pairs(a["qs"]).astype(jnp.float32)
+        S = K // 256
+        dm = a["dm"].astype(jnp.float32).reshape(S, 4, N)
+        d, dmin = dm[:, 0, :] + dm[:, 2, :], dm[:, 1, :] + dm[:, 3, :]
+        sc = (a["sc6"].astype(jnp.float32).reshape(S, 8, N) * d[:, None, :])
+        mn = (a["mn6"].astype(jnp.float32).reshape(S, 8, N) * dmin[:, None, :])
+        sc = sc.reshape(K // 32, N)
+        offs = (8.0 * sc - mn.reshape(K // 32, N))
+        x = (
+            q.reshape(K // 32, 32, N) * sc[:, None, :] + offs[:, None, :]
+        ).reshape(K, N)
     elif qt.fmt == "q6_k":
         q = a["qs"].astype(jnp.float32)
-        sc = a["scales"]  # f32 [K/16, N]
+        S = K // 256
+        dv = a["d"].astype(jnp.float32).reshape(S, 4, N)
+        d = dv[:, 0, :] + dv[:, 1, :]  # exact bf16 hi/lo pair
+        sc = (a["sc8"].astype(jnp.float32).reshape(S, 16, N) * d[:, None, :])
+        sc = sc.reshape(K // 16, N)
         x = (q.reshape(K // 16, 16, N) * sc[:, None, :]).reshape(K, N)
     else:
         raise NotImplementedError(qt.fmt)

@@ -79,8 +79,16 @@ def make_params(
             return rng.integers(-100, 100, size=shape, dtype=np.int8).view(dtype)
 
         def scales(shape):
-            # f16-grid values widened to f32 (see qtensor.SCALE_DTYPE)
-            return (rng.uniform(0.5, 1.0, size=shape) * 0.01).astype(np.float16).astype(np.float32)
+            # f16-grid values on the bf16 storage grid (qtensor.SCALE_DTYPE)
+            from .quant.qtensor import store_f16
+
+            return store_f16((rng.uniform(0.5, 1.0, size=shape) * 0.01).astype(np.float32))
+
+        def sub_scales(shape):
+            # exact int8 sub-scales (K-quant v4 layout): small nonzero ints
+            if fill == "zeros":
+                return np.ones(shape, np.int8)
+            return rng.integers(1, 64, size=shape, dtype=np.int8)
 
         # device layout is K-major: arrays are [K-granule, N] (see qtensor.py)
         if fmt == "q4_0":
@@ -90,13 +98,15 @@ def make_params(
         elif fmt == "q4_k":
             arrays = {
                 "qs": payload((cols // 2, rows), np.uint8),
-                "scales": scales((cols // 32, rows)),
-                "offs": scales((cols // 32, rows)),
+                "sc6": sub_scales((cols // 32, rows)),
+                "mn6": sub_scales((cols // 32, rows)),
+                "dm": scales((cols // 64, rows)),
             }
         elif fmt == "q6_k":
             arrays = {
                 "qs": payload((cols, rows), np.int8),
-                "scales": scales((cols // 16, rows)),
+                "sc8": sub_scales((cols // 16, rows)),
+                "d": scales((cols // 64, rows)),
             }
         else:
             raise ValueError(fmt)

@@ -116,6 +116,29 @@ inline uint16_t rd_f16(const uint8_t* p) {
   return v;
 }
 
+// round-to-nearest-even f32 -> bf16 bits (matches ml_dtypes/numpy astype)
+inline uint16_t f32_to_bf16(float f) {
+  uint32_t u;
+  std::memcpy(&u, &f, 4);
+  uint32_t bias = 0x7FFFu + ((u >> 16) & 1u);
+  return (uint16_t)((u + bias) >> 16);
+}
+
+inline float bf16_to_f32(uint16_t h) {
+  uint32_t u = (uint32_t)h << 16;
+  float f;
+  std::memcpy(&f, &u, 4);
+  return f;
+}
+
+// exact bf16 (hi, lo) split of an f16 value (quant/qtensor.py _hi_lo):
+// hi = bf16(x), lo = bf16(x - hi); hi + lo == x bit-for-bit in f32
+inline void bf16_hi_lo(uint16_t f16bits, uint16_t* hi, uint16_t* lo) {
+  float x = f16_to_f32(f16bits);
+  *hi = f32_to_bf16(x);
+  *lo = f32_to_bf16(x - bf16_to_f32(*hi));
+}
+
 // ggml get_scale_min_k4 (numpy_ref._unpack_scale_min_k4)
 void scale_min_k4(const uint8_t* s, uint8_t* sc, uint8_t* mn) {
   for (int j = 0; j < 4; ++j) {
@@ -331,26 +354,30 @@ int gt_repack_q8_0(const uint8_t* raw, int64_t N, int64_t K, int8_t* qs,
 }
 
 int gt_repack_q4_k(const uint8_t* raw, int64_t N, int64_t K, uint8_t* qs,
-                   uint16_t* sc_out, uint16_t* off_out) {
+                   int8_t* sc6_out, int8_t* mn6_out, uint16_t* dm_out) {
+  // layout v4: EXACT 6-bit sub-scales/mins as int8 + per-superblock d/dmin
+  // as exact bf16 hi/lo pairs, rows [d_hi, dmin_hi, d_lo, dmin_lo] at K/64
+  // granularity (the kernel reconstructs f16-exact d = hi + lo in f32)
   int64_t nsb = K / 256;
   parallel_rows(N, [&](int64_t lo, int64_t hi) {
     for (int64_t n = lo; n < hi; ++n) {
       const uint8_t* row = raw + n * nsb * 144;
       for (int64_t s = 0; s < nsb; ++s) {
         const uint8_t* b = row + s * 144;
-        float d = f16_to_f32(rd_f16(b));
-        float dmin = f16_to_f32(rd_f16(b + 2));
+        uint16_t d_hi, d_lo, mn_hi, mn_lo;
+        bf16_hi_lo(rd_f16(b), &d_hi, &d_lo);
+        bf16_hi_lo(rd_f16(b + 2), &mn_hi, &mn_lo);
         uint8_t sc6[8], mn6[8];
         scale_min_k4(b + 4, sc6, mn6);
         for (int g = 0; g < 8; ++g) {
           int64_t gg = s * 8 + g;  // per-32 group index
-          uint16_t sch = f32_to_f16(d * (float)sc6[g]);
-          uint16_t mnh = f32_to_f16(dmin * (float)mn6[g]);
-          sc_out[gg * N + n] = sch;
-          // affine offset from the ROUNDED scale/min, like the kernel sees
-          off_out[gg * N + n] =
-              f32_to_f16(8.0f * f16_to_f32(sch) - f16_to_f32(mnh));
+          sc6_out[gg * N + n] = (int8_t)sc6[g];
+          mn6_out[gg * N + n] = (int8_t)mn6[g];
         }
+        dm_out[(s * 4 + 0) * N + n] = d_hi;
+        dm_out[(s * 4 + 1) * N + n] = mn_hi;
+        dm_out[(s * 4 + 2) * N + n] = d_lo;
+        dm_out[(s * 4 + 3) * N + n] = mn_lo;
         // chunk c (32B): elements 64c+i = ch[i]&0xF (i<32), 64c+32+i = ch[i]>>4
         const uint8_t* ch0 = b + 16;
         for (int c = 0; c < 4; ++c) {
@@ -371,10 +398,11 @@ int gt_repack_q4_k(const uint8_t* raw, int64_t N, int64_t K, uint8_t* qs,
 }
 
 int gt_repack_q6_k(const uint8_t* raw, int64_t N, int64_t K, int8_t* qs_out,
-                   uint16_t* sc_out) {
-  // device format v3: plain int8 payload (q-32 in [-32, 31]) + per-16 f16
-  // scales — 9.0 bpw vs the old two-int4-plane 10.0, and the kernel is the
-  // q8_0 kernel (one convert) instead of two bitcasts + a recombine.
+                   int8_t* sc8_out, uint16_t* d_out) {
+  // layout v4: plain int8 payload (q-32 in [-32, 31]) + ggml's EXACT
+  // per-16 int8 scales + per-superblock d as exact bf16 hi/lo pairs,
+  // rows [d_hi, d_lo, d_hi, d_lo] at K/64 granularity (the kernel
+  // reconstructs f16-exact d = hi + lo in f32 — 8.75 bpw on device).
   int64_t nsb = K / 256;
   parallel_rows(N, [&](int64_t lo, int64_t hi) {
     uint8_t q[256];
@@ -383,9 +411,14 @@ int gt_repack_q6_k(const uint8_t* raw, int64_t N, int64_t K, int8_t* qs_out,
       for (int64_t s = 0; s < nsb; ++s) {
         const uint8_t* b = row + s * 210;
         const int8_t* sc8 = (const int8_t*)(b + 192);
-        float d = f16_to_f32(rd_f16(b + 208));
+        uint16_t d_hi, d_lo;
+        bf16_hi_lo(rd_f16(b + 208), &d_hi, &d_lo);
         for (int t = 0; t < 16; ++t)
-          sc_out[(s * 16 + t) * N + n] = f32_to_f16(d * (float)sc8[t]);
+          sc8_out[(s * 16 + t) * N + n] = sc8[t];
+        d_out[(s * 4 + 0) * N + n] = d_hi;
+        d_out[(s * 4 + 1) * N + n] = d_lo;
+        d_out[(s * 4 + 2) * N + n] = d_hi;
+        d_out[(s * 4 + 3) * N + n] = d_lo;
         q6k_values(b, b + 128, q);
         for (int j = 0; j < 256; ++j)
           qs_out[(s * 256 + j) * N + n] = (int8_t)((int)q[j] - 32);

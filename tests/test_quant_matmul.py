@@ -17,10 +17,12 @@ CASES = [
     ("q4_0", (128, 1024), 64),
     ("q8_0", (256, 512), 1),
     ("q8_0", (128, 512), 33),
-    ("q4_k", (256, 512), 1),
+    # K-quant v4 metadata tiles (int8 sub-scales + bf16 superscales) need
+    # bk % 1024 == 0, so K must be a 1024-multiple on the kernel path
+    ("q4_k", (256, 1024), 1),
     ("q4_k", (128, 1024), 16),
-    ("q6_k", (256, 512), 1),
-    ("q6_k", (128, 512), 9),
+    ("q6_k", (256, 1024), 1),
+    ("q6_k", (128, 1024), 9),
     # wide-N: exercises the bn=1024/2048 tile picks (gate_up / lm_head
     # geometry) and the x-permute <-> weight-tile window alignment
     ("q4_0", (8192, 512), 1),

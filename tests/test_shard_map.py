@@ -61,7 +61,7 @@ def test_quant_matmul_composes_with_shard_map(rng):
     from gemma_tpu.ops.quant_matmul import quant_matmul, supports
     from gemma_tpu.quant.qtensor import QTensor, dequant, quantize_array
 
-    N, K, M = 1024, 256, 8
+    N, K, M = 1024, 512, 8  # K: bf16 scale tiles need a 512-multiple bk
     mesh = make_mesh(1, 8)
     w = rng.normal(size=(N, K)).astype(np.float32) * 0.1
     qt = quantize_array(w, "q4_0")
