@@ -409,15 +409,18 @@ class TPEngine:
         return self._decode(self.params, tokens, cache)
 
     # -- Scheduler surface (continuous batching over the TP mesh) ----------
-    def prefill_standalone(self, prompt: list[int]):
+    def prefill_standalone(self, prompt: list[int], pad_to: int | None = None):
         """Prefill one sequence through the batch-replicated TP graph into a
         throwaway bucket-sized cache; returns the Engine-compatible
-        (logits, k_seq, v_seq, scales, length) insertion tuple."""
+        (logits, k_seq, v_seq, scales, length) insertion tuple. `pad_to`
+        rounds T up to the decode-side page size (Engine API parity)."""
         from ..runtime.kv_cache import KVCache
 
         T = 16
         while T < len(prompt):
             T *= 2
+        if pad_to:
+            T = -(-T // pad_to) * pad_to
         ccfg = dataclasses.replace(
             self.cfg, n_kv_heads=cache_heads(self.cfg, self.tp)
         )

@@ -300,20 +300,26 @@ class Engine:
     def decode_step(self, tokens: jax.Array, cache: KVCache):
         return self._decode(self.params, tokens, cache)
 
-    def prefill_standalone(self, prompt: list[int]):
+    def prefill_standalone(self, prompt: list[int], pad_to: int | None = None):
         """Prefill one sequence into a throwaway bucket-sized cache and
         return (logits [vocab], k_seq, v_seq, scales..., length) for
         insertion into a serving cache slot (prefill/decode disaggregation:
         the prefill graph never touches the decode batch). Long prompts
         chunk when `prefill_chunk` is set, so admission never compiles a
-        prompt-length-sized program."""
+        prompt-length-sized program.
+
+        `pad_to`: round the output T up to this multiple — the DECODE-side
+        page size when the consuming cache is paged (the paged insert
+        reshapes [.., T, ..] into whole pages; under disaggregation the
+        prefill engine cannot know the decode engine's page geometry)."""
         T = _bucket(len(prompt), self.ecfg.prefill_bucket_min)
         if self.ecfg.paged:
-            # paged insert reshapes the [.., T, ..] chunk into whole pages:
-            # T must be a page_size multiple or a short prompt (T < page_size)
-            # would produce zero pages and a failing reshape
+            # a short prompt (T < page_size) would otherwise produce zero
+            # pages and a failing reshape at insert
             ps = self.ecfg.page_size
             T = -(-T // ps) * ps
+        if pad_to:
+            T = -(-T // pad_to) * pad_to
         tmp = KVCache.create(
             self.cfg, 1, T, dtype=self.ecfg.kv_dtype, quantized=self.ecfg.kv_quantized
         )

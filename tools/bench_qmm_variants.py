@@ -210,16 +210,14 @@ def main():
         ("attn_out", 2048, 2048),  # grid (1,1,1) at bk=bn=2048: no pipelining
     ]
     configs = [
-        ("stream", jnp.uint16, 2048, 2048),   # HBM ceiling at 4.5 bpw bytes
-        ("rsc", jnp.float32, 2048, 2048),     # round-2 production kernel
-        ("f32dot", jnp.float32, 2048, 2048),  # f32 MXU: skips the bf16 narrow
-        ("f32dot", jnp.float32, 2048, 1024),
-        ("f32dot", jnp.float32, 1024, 2048),
-        ("f32dot", jnp.float32, 1024, 1024),
-        ("rsc", jnp.float32, 1024, 2048),     # 2-step grids for small shapes
-        ("rsc", jnp.float32, 2048, 1024),
-        ("rsc", jnp.float32, 1024, 1024),
-        ("noscale", jnp.float32, 2048, 2048), # scale-mul cost isolation
+        ("stream", jnp.uint16, 2048, 2048),    # HBM ceiling at 4.5 bpw bytes
+        ("f32dot", jnp.bfloat16, 2048, 2048),  # PRODUCTION (layout v4): bf16
+        ("f32dot", jnp.bfloat16, 2048, 1024),  # scales widened in-kernel
+        ("f32dot", jnp.bfloat16, 1024, 2048),
+        ("rsc", jnp.bfloat16, 2048, 2048),     # bf16 scales + bf16-narrowed dot
+        ("f32dot", jnp.float32, 2048, 2048),   # layout v3 (f32 scales) for ref
+        ("rsc", jnp.float32, 2048, 2048),      # round-2 production kernel
+        ("noscale", jnp.float32, 2048, 2048),  # scale-mul cost isolation
     ]
     only = sys.argv[1] if len(sys.argv) > 1 else None
     print(f"device: {jax.devices()[0].device_kind}, M={M}, CH={CH}")
