@@ -94,8 +94,16 @@ class _Cursor:
     def u64(self) -> int:
         return self.scalar(GGUFValueType.UINT64)
 
+    def remaining(self) -> int:
+        return len(self.buf) - self.pos
+
     def string(self) -> str:
         n = self.u64()
+        if n > self.remaining():
+            raise EOFError(
+                f"GGUF truncated: string of {n} bytes at {self.pos} exceeds "
+                f"the {self.remaining()} bytes left"
+            )
         return self.read(n).decode("utf-8", errors="replace")
 
     def value(self, vt: GGUFValueType):
@@ -104,6 +112,14 @@ class _Cursor:
         if vt == GGUFValueType.ARRAY:
             elem_t = GGUFValueType(self.u32())
             count = self.u64()
+            # an absurd count must fail fast, not hang a 2^60-iteration
+            # loop: every element consumes >= 1 byte (strings >= 8)
+            min_elem = 8 if elem_t in (GGUFValueType.STRING, GGUFValueType.ARRAY) else 1
+            if count * min_elem > self.remaining():
+                raise EOFError(
+                    f"GGUF truncated: array of {count} x {elem_t.name} at "
+                    f"{self.pos} exceeds the {self.remaining()} bytes left"
+                )
             if elem_t == GGUFValueType.STRING:
                 return [self.string() for _ in range(count)]
             if elem_t == GGUFValueType.ARRAY:
@@ -150,26 +166,53 @@ class GGUFReader:
             raise ValueError(f"{path}: unsupported GGUF version {self.version}")
         n_tensors = cur.u64()
         n_kv = cur.u64()
+        # each KV / tensor entry consumes >= 12 bytes; absurd counts (a
+        # corrupt or adversarial header) must fail fast, not loop for hours
+        if (n_tensors + n_kv) * 12 > len(self._mm):
+            raise ValueError(
+                f"{path}: header claims {n_tensors} tensors + {n_kv} KVs "
+                f"but the file is only {len(self._mm)} bytes"
+            )
 
         self.metadata: dict[str, Any] = {}
         for _ in range(n_kv):
             key = cur.string()
-            vt = GGUFValueType(cur.u32())
+            try:
+                vt = GGUFValueType(cur.u32())
+            except ValueError as e:
+                raise ValueError(f"{path}: KV '{key}': {e}") from None
             self.metadata[key] = cur.value(vt)
 
         self.alignment = int(self.metadata.get(Keys.ALIGNMENT, GGUF_DEFAULT_ALIGNMENT))
+        if self.alignment <= 0 or self.alignment & (self.alignment - 1):
+            raise ValueError(
+                f"{path}: general.alignment must be a positive power of two, "
+                f"got {self.alignment}"
+            )
 
         self.tensors: dict[str, TensorInfo] = {}
         order: list[TensorInfo] = []
         for _ in range(n_tensors):
             name = cur.string()
             n_dims = cur.u32()
+            if n_dims > 4:  # GGML_MAX_DIMS
+                raise ValueError(f"{path}: tensor '{name}' has {n_dims} dims (max 4)")
             ne = [cur.u64() for _ in range(n_dims)]
-            ggml_type = GGMLType(cur.u32())
+            if any(d < 0 or d > 1 << 40 for d in ne):
+                raise ValueError(f"{path}: tensor '{name}' has absurd dims {ne}")
+            try:
+                ggml_type = GGMLType(cur.u32())
+            except ValueError as e:
+                raise ValueError(f"{path}: tensor '{name}': {e}") from None
             offset = cur.u64()
             shape = tuple(reversed(ne))
             n_rows = int(np.prod(ne[1:])) if len(ne) > 1 else 1
-            nbytes = n_rows * row_size(ggml_type, int(ne[0]) if ne else 1)
+            try:
+                nbytes = n_rows * row_size(ggml_type, int(ne[0]) if ne else 1)
+            except ValueError as e:
+                raise ValueError(f"{path}: tensor '{name}': {e}") from None
+            if name in self.tensors:
+                raise ValueError(f"{path}: duplicate tensor name '{name}'")
             ti = TensorInfo(name, shape, ggml_type, offset, nbytes)
             self.tensors[name] = ti
             order.append(ti)
@@ -177,6 +220,19 @@ class GGUFReader:
 
         pad = -cur.pos % self.alignment
         self.data_offset = cur.pos + pad
+        data_size = len(self._mm) - self.data_offset
+        for ti in order:
+            if ti.offset % self.alignment:
+                raise ValueError(
+                    f"{path}: tensor '{ti.name}' offset {ti.offset} is not "
+                    f"{self.alignment}-aligned"
+                )
+            if ti.offset + ti.n_bytes > data_size:
+                raise ValueError(
+                    f"{path}: tensor '{ti.name}' payload [{ti.offset}, "
+                    f"{ti.offset + ti.n_bytes}) exceeds the {data_size}-byte "
+                    "data section (truncated file?)"
+                )
 
     # -- metadata access ---------------------------------------------------
     @property
