@@ -272,22 +272,26 @@ def flash_attention(
 
 def _decode_kernel(
     lim_ref,  # SMEM [B, 1]
-    q_ref,  # [1, 1, G, D]
-    k_ref,  # [1, 1, bs, D] (bf16, or int8 when quantized)
-    v_ref,  # [1, 1, bs, D]
-    *rest,  # quantized: ks_ref [1, 1, bs], vs_ref [1, 1, bs], then outputs
+    q_ref,  # [1, Hkv, G, D]
+    k_ref,  # [1, Hkv, bs, D] (bf16, or int8 when quantized)
+    v_ref,  # [1, Hkv, bs, D]
+    *rest,  # quantized: ks_ref [1, Hkv, bs], vs_ref [1, Hkv, bs], then outputs
     n_s_tiles: int,
     block_s: int,
     window: int,
     attn_softcap: float,
     quantized: bool = False,
 ):
+    # ALL KV heads per block: grid steps execute sequentially on the one
+    # v5e core, so a per-(head, tile) grid pays the fixed per-step cost
+    # Hkv-times more — MHA Gemma-7B's 16 heads made decode attention
+    # per-step-overhead-bound. One (Hkv, bs, D) slab per S-tile walks
+    # Hkv-times fewer steps with Hkv-times fatter DMAs.
     if quantized:
         ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
     else:
         o_ref, m_scr, l_scr, acc_scr = rest
-    s_idx = pl.program_id(2)
-    h_idx = pl.program_id(1)
+    s_idx = pl.program_id(1)
 
     @pl.when(s_idx == 0)
     def _():
@@ -303,50 +307,52 @@ def _decode_kernel(
 
     @pl.when(tile_live)
     def _():
-        q = q_ref[0, 0]  # [G, D]
-        k = k_ref[0, 0]  # [bs, D]
-        G = q.shape[0]
+        q = q_ref[0]  # [Hkv, G, D]
+        k = k_ref[0]  # [Hkv, bs, D]
+        Hkv, G, D = q.shape
         s = jax.lax.dot_general(
             q, k.astype(q.dtype) if quantized else k,
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        )  # [G, bs]
+            (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+        )  # [Hkv, G, bs]
         if quantized:
-            # per-position K scales: [1, bs] row of this head (blocks carry
-            # all Hkv rows — Mosaic's last-two-dims rule — tiny vs the KV)
-            s = s * ks_ref[0, pl.dslice(h_idx, 1), :]  # [1, bs]
+            # per-position K scales, all heads at once: [Hkv, 1, bs]
+            s = s * ks_ref[0][:, None, :]
         if attn_softcap:
             s = attn_softcap * jnp.tanh(s / attn_softcap)
-        col = s_start + jax.lax.broadcasted_iota(jnp.int32, (G, block_s), 1)
+        col = s_start + jax.lax.broadcasted_iota(jnp.int32, (Hkv, G, block_s), 2)
         mask = col < limit
         if window > 0:
             mask &= col > limit - 1 - window
         s = jnp.where(mask, s, MASK_VALUE)
 
-        m_prev = m_scr[...][:, :1]
-        l_prev = l_scr[...][:, :1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_prev = m_scr[...].reshape(Hkv, G, NUM_LANES)[:, :, :1]
+        l_prev = l_scr[...].reshape(Hkv, G, NUM_LANES)[:, :, :1]
+        m_cur = jnp.max(s, axis=2, keepdims=True)
         m_next = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_next)
         p = jnp.exp(s - m_next)
         p = jnp.where(mask, p, 0.0)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
-        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
-        v_t = v_ref[0, 0]  # [bs, D]
+        l_next = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
+        m_scr[...] = jnp.broadcast_to(m_next, (Hkv, G, NUM_LANES)).reshape(m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_next, (Hkv, G, NUM_LANES)).reshape(l_scr.shape)
+        v_t = v_ref[0]  # [Hkv, bs, D]
         if quantized:
-            p = p * vs_ref[0, pl.dslice(h_idx, 1), :]  # [1, bs]
+            p = p * vs_ref[0][:, None, :]
             v_t = v_t.astype(jnp.bfloat16)
         pv = jax.lax.dot_general(
-            p.astype(v_t.dtype), v_t, (((1,), (0,)), ((), ())),
+            p.astype(v_t.dtype), v_t, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
-        acc_scr[...] = acc_scr[...] * alpha + pv
+        )  # [Hkv, G, D]
+        acc_scr[...] = (
+            acc_scr[...].reshape(Hkv, G, D) * alpha + pv
+        ).reshape(acc_scr.shape)
 
     @pl.when(s_idx == n_s_tiles - 1)
     def _():
-        l = l_scr[...][:, :1]
+        Hkv, G, D = q_ref.shape[1:]
+        l = l_scr[...].reshape(Hkv, G, NUM_LANES)[:, :, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[...].reshape(Hkv, G, D) * l_inv).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -365,30 +371,29 @@ def _decode_call(
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, G, D), lambda b, h, sk: (b, h, 0, 0)),
-        pl.BlockSpec((1, 1, block_s, D), lambda b, h, sk: (b, h, sk, 0)),
-        pl.BlockSpec((1, 1, block_s, D), lambda b, h, sk: (b, h, sk, 0)),
+        pl.BlockSpec((1, Hkv, G, D), lambda b, sk: (b, 0, 0, 0)),
+        pl.BlockSpec((1, Hkv, block_s, D), lambda b, sk: (b, 0, sk, 0)),
+        pl.BlockSpec((1, Hkv, block_s, D), lambda b, sk: (b, 0, sk, 0)),
     ]
     inputs = [kv_limit.reshape(B, 1), q_bhgd, k, v]
     if quantized:
-        Hkv_ = k.shape[1]
         in_specs += [
-            pl.BlockSpec((1, Hkv_, block_s), lambda b, h, sk: (b, 0, sk))
+            pl.BlockSpec((1, Hkv, block_s), lambda b, sk: (b, 0, sk))
         ] * 2
         inputs += [k_scale, v_scale]
     out = pl.pallas_call(
         kernel,
-        grid=(B, Hkv, n_s),
+        grid=(B, n_s),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, sk: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((1, Hkv, G, D), lambda b, sk: (b, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((G, NUM_LANES), jnp.float32),
-            pltpu.VMEM((G, NUM_LANES), jnp.float32),
-            pltpu.VMEM((G, D), jnp.float32),
+            pltpu.VMEM((Hkv * G, NUM_LANES), jnp.float32),
+            pltpu.VMEM((Hkv * G, NUM_LANES), jnp.float32),
+            pltpu.VMEM((Hkv * G, D), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(*inputs)
@@ -416,7 +421,7 @@ def decode_attention(
     qg = q.reshape(B, Hkv, G, D)
     if Gp != G:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
-    block_s = block_s or _pick_decode_block_s(S)
+    block_s = block_s or _pick_decode_block_s(S, Hkv, D)
     out = _decode_call(
         qg, k, v, k_scale, v_scale, kv_limit.astype(jnp.int32),
         block_s, int(window), float(attn_softcap), _interpret(),
@@ -426,19 +431,24 @@ def decode_attention(
     return out[:, :, :G].reshape(B, 1, Hq, D).astype(q.dtype)
 
 
-def _pick_decode_block_s(S: int) -> int:
+def _pick_decode_block_s(S: int, Hkv: int = 1, D: int = 128) -> int:
     # bigger S-tiles amortize per-grid-step overhead on long caches (the
     # per-step cost dominates the tiny per-tile DMA/compute at decode);
     # the validity skip still bounds reads to the live prefix rounded up
     # to one tile. Short caches keep 256-tiles: a single whole-S tile
     # loses the DMA/compute pipelining (S=512 with bs=512 measured the
-    # whole decode 401 -> 379 tok/s).
+    # whole decode 401 -> 379 tok/s). Blocks now carry ALL Hkv heads, so
+    # cap the tile where the double-buffered K+V slabs would overflow a
+    # VMEM budget (16 MB leaves room for q/out/scratch).
+    budget = 16 * 1024 * 1024
+    def fits(bs: int) -> bool:
+        return Hkv * bs * D * 2 * 2 * 2 <= budget
     if S <= 2 * DECODE_BLOCK_S:
         return DECODE_BLOCK_S if S % DECODE_BLOCK_S == 0 else S
     for bs in (DECODE_BLOCK_S_LONG, 512, DECODE_BLOCK_S):
-        if S % bs == 0:
+        if S % bs == 0 and fits(bs):
             return bs
-    return S
+    return DECODE_BLOCK_S if S % DECODE_BLOCK_S == 0 else S
 
 
 def decode_supported(T: int, S: int, Hq: int, Hkv: int, D: int) -> bool:

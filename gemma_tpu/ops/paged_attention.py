@@ -17,11 +17,13 @@ Shapes:
     page_table: i32 [B, maxp] physical page per logical page (0 = trash)
     kv_limit:   i32 [B] valid token count
 
-Grid is (B, Hq_kv, maxp): sequential page walk per (batch, kv-head) with an
-online-softmax accumulator in VMEM scratch. Pages past a sequence's limit
-are skipped two ways: the index_map redirects them to the sequence's page 0
-entry (consecutive identical block indices elide the DMA) and `pl.when`
-skips their compute.
+Grid is (B, maxp): a sequential page walk per batch row with online-softmax
+accumulators for ALL KV heads in VMEM scratch — each step DMAs the whole
+(Hkv, ps, D) page slab (v5e runs grid steps on one core, so per-(head,
+page) grids pay the fixed per-step cost Hkv-times more; see _paged_kernel).
+Pages past a sequence's limit are skipped two ways: the index_map redirects
+them to the sequence's page 0 entry (consecutive identical block indices
+elide the DMA) and `pl.when` skips their compute.
 """
 from __future__ import annotations
 
@@ -45,16 +47,22 @@ def _interpret() -> bool:
 def _paged_kernel(
     pt_ref,  # scalar-prefetch: i32 [B, maxp]
     lim_ref,  # scalar-prefetch: i32 [B]
-    q_ref,  # [1, 1, G, D]
-    k_ref,  # [1, 1, ps, D] (bf16, or int8 when quantized)
-    v_ref,  # [1, 1, ps, D]
-    *rest,  # quantized: ks_ref [1, 1, ps], vs_ref [1, 1, ps], then outputs
+    q_ref,  # [1, Hkv, G, D]
+    k_ref,  # [1, Hkv, ps, D] (bf16, or int8 when quantized)
+    v_ref,  # [1, Hkv, ps, D]
+    *rest,  # quantized: ks_ref [1, Hkv, ps], vs_ref [1, Hkv, ps], then outputs
     ps: int,
     n_pages: int,
     attn_softcap: float,
     window: int,
     quantized: bool = False,
 ):
+    # ALL KV heads ride in one block: v5e executes grid steps on ONE core,
+    # so a per-(head, page) grid pays the fixed per-step cost B*Hkv*maxp
+    # times — per-page DMAs of (1, 1, ps, D) were overhead-bound (7B ps=64
+    # measured 0.65x dense). One (1, Hkv, ps, D) block per page walks
+    # Hkv-times fewer steps with Hkv-times fatter DMAs (16x for Gemma-7B).
+    #
     # int8 pages are read IN PLACE: per-position scales commute through both
     # dots — s = (q · k8ᵀ) * ks, out = (p * vs) @ v8 — so no dequantized
     # copy of the pool ever exists (the round-2 gather_layer fallback
@@ -63,8 +71,7 @@ def _paged_kernel(
         ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
     else:
         o_ref, m_scr, l_scr, acc_scr = rest
-    b, i = pl.program_id(0), pl.program_id(2)
-    h_idx = pl.program_id(1)
+    b, i = pl.program_id(0), pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
@@ -80,49 +87,51 @@ def _paged_kernel(
 
     @pl.when(live)
     def _():
-        q = q_ref[0, 0]  # [G, D]
-        k = k_ref[0, 0]  # [ps, D]
-        G = q.shape[0]
+        q = q_ref[0]  # [Hkv, G, D]
+        k = k_ref[0]  # [Hkv, ps, D]
+        Hkv, G, D = q.shape
         s = jax.lax.dot_general(
             q, k.astype(q.dtype) if quantized else k,
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        )  # [G, ps]
+            (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+        )  # [Hkv, G, ps]
         if quantized:
-            # this head's per-position K scales (block carries all Hkv rows)
-            s = s * ks_ref[0, pl.dslice(h_idx, 1), :]  # [1, ps]
+            s = s * ks_ref[0][:, None, :]  # [Hkv, 1, ps]
         if attn_softcap:
             s = attn_softcap * jnp.tanh(s / attn_softcap)
-        col = start + jax.lax.broadcasted_iota(jnp.int32, (G, ps), 1)
+        col = start + jax.lax.broadcasted_iota(jnp.int32, (Hkv, G, ps), 2)
         mask = col < limit
         if window > 0:
             mask &= col > limit - 1 - window
         s = jnp.where(mask, s, MASK_VALUE)
 
-        m_prev = m_scr[...][:, :1]
-        l_prev = l_scr[...][:, :1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_prev = m_scr[...].reshape(Hkv, G, NUM_LANES)[:, :, :1]
+        l_prev = l_scr[...].reshape(Hkv, G, NUM_LANES)[:, :, :1]
+        m_cur = jnp.max(s, axis=2, keepdims=True)
         m_next = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_next)
         p = jnp.exp(s - m_next)
         p = jnp.where(mask, p, 0.0)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
-        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
-        v = v_ref[0, 0]  # [ps, D]
+        l_next = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
+        m_scr[...] = jnp.broadcast_to(m_next, (Hkv, G, NUM_LANES)).reshape(m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_next, (Hkv, G, NUM_LANES)).reshape(l_scr.shape)
+        v = v_ref[0]  # [Hkv, ps, D]
         if quantized:
-            p = p * vs_ref[0, pl.dslice(h_idx, 1), :]  # [1, ps]
+            p = p * vs_ref[0][:, None, :]
             v = v.astype(jnp.bfloat16)
         pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
-        acc_scr[...] = acc_scr[...] * alpha + pv
+        )  # [Hkv, G, D]
+        acc_scr[...] = (
+            acc_scr[...].reshape(Hkv, G, D) * alpha + pv
+        ).reshape(acc_scr.shape)
 
     @pl.when(i == n_pages - 1)
     def _():
-        l = l_scr[...][:, :1]
+        Hkv, G, D = q_ref.shape[1:]
+        l = l_scr[...].reshape(Hkv, G, NUM_LANES)[:, :, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[...].reshape(Hkv, G, D) * l_inv).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -135,14 +144,14 @@ def _paged_call(q_bhgd, k_pages, v_pages, k_scale, v_scale, page_table,
     maxp = page_table.shape[1]
     quantized = k_scale is not None
 
-    def page_map(b, h, i, pt_ref, lim_ref):
+    def page_map(b, i, pt_ref, lim_ref):
         # dead steps re-request the sequence's LAST live page: consecutive
         # identical block indices elide the DMA, and pl.when skips compute.
         n_live = jnp.maximum((lim_ref[b] + ps - 1) // ps, 1)
         idx = jnp.where(i < n_live, i, n_live - 1)
-        return (pt_ref[b, idx], h, 0, 0)
+        return (pt_ref[b, idx], 0, 0, 0)
 
-    def page_map3(b, h, i, pt_ref, lim_ref):
+    def page_map3(b, i, pt_ref, lim_ref):
         n_live = jnp.maximum((lim_ref[b] + ps - 1) // ps, 1)
         idx = jnp.where(i < n_live, i, n_live - 1)
         return (pt_ref[b, idx], 0, 0)
@@ -152,9 +161,9 @@ def _paged_call(q_bhgd, k_pages, v_pages, k_scale, v_scale, page_table,
         attn_softcap=attn_softcap, window=window, quantized=quantized,
     )
     in_specs = [
-        pl.BlockSpec((1, 1, G, D), lambda b, h, i, *_: (b, h, 0, 0)),
-        pl.BlockSpec((1, 1, ps, D), page_map),
-        pl.BlockSpec((1, 1, ps, D), page_map),
+        pl.BlockSpec((1, Hkv, G, D), lambda b, i, *_: (b, 0, 0, 0)),
+        pl.BlockSpec((1, Hkv, ps, D), page_map),
+        pl.BlockSpec((1, Hkv, ps, D), page_map),
     ]
     inputs = [q_bhgd, k_pages, v_pages]
     if quantized:
@@ -162,13 +171,13 @@ def _paged_call(q_bhgd, k_pages, v_pages, k_scale, v_scale, page_table,
         inputs += [k_scale, v_scale]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, Hkv, maxp),
+        grid=(B, maxp),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, i, *_: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((1, Hkv, G, D), lambda b, i, *_: (b, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((G, NUM_LANES), jnp.float32),
-            pltpu.VMEM((G, NUM_LANES), jnp.float32),
-            pltpu.VMEM((G, D), jnp.float32),
+            pltpu.VMEM((Hkv * G, NUM_LANES), jnp.float32),
+            pltpu.VMEM((Hkv * G, NUM_LANES), jnp.float32),
+            pltpu.VMEM((Hkv * G, D), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -176,7 +185,7 @@ def _paged_call(q_bhgd, k_pages, v_pages, k_scale, v_scale, page_table,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(page_table, kv_limit, *inputs)

@@ -52,8 +52,19 @@ CFG = GemmaConfig(
     vocab_size=2048, d_model=512, n_layers=4, n_heads=8, n_kv_heads=2,
     head_dim=64, d_ff=1024, context_length=512,
 )
-CTX = int(os.environ.get("PPL_CTX", "128"))
-N_TOKENS = int(os.environ.get("PPL_TOKENS", "384"))
+# --large (VERDICT r3 #8): ~325M params + a 4K corpus, so K-quant scale
+# bugs with small per-weight signatures have statistical room to show.
+# Run: JAX_PLATFORMS=cpu python tools/ppl_gate.py --large  (~30-60 min on
+# a 2-core host; results recorded in PARITY.md).
+CFG_LARGE = GemmaConfig(
+    vocab_size=8192, d_model=1280, n_layers=12, n_heads=10, n_kv_heads=2,
+    head_dim=128, d_ff=5120, context_length=512,
+)
+LARGE = "--large" in sys.argv
+if LARGE:
+    CFG = CFG_LARGE
+CTX = int(os.environ.get("PPL_CTX", "256" if LARGE else "128"))
+N_TOKENS = int(os.environ.get("PPL_TOKENS", "4096" if LARGE else "384"))
 
 
 def numpy_ppl(weights, cfg, tokens: np.ndarray, ctx: int) -> float:
@@ -129,6 +140,7 @@ def main() -> None:
         "worst_abs_delta_quant": round(worst, 4),
         "gate": "PASS" if worst <= 0.05 else "FAIL",
         "corpus_tokens": int(N_TOKENS), "ctx": CTX,
+        "model": "large-325M" if LARGE else "small-26M",
     }))
 
 
