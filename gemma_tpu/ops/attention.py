@@ -394,6 +394,7 @@ def _decode_call(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*inputs)
@@ -438,11 +439,13 @@ def _pick_decode_block_s(S: int, Hkv: int = 1, D: int = 128) -> int:
     # to one tile. Short caches keep 256-tiles: a single whole-S tile
     # loses the DMA/compute pipelining (S=512 with bs=512 measured the
     # whole decode 401 -> 379 tok/s). Blocks now carry ALL Hkv heads, so
-    # cap the tile where the double-buffered K+V slabs would overflow a
-    # VMEM budget (16 MB leaves room for q/out/scratch).
-    budget = 16 * 1024 * 1024
+    # cap the tile where the double-buffered K+V slabs would overflow the
+    # kernel's raised 100 MB vmem_limit (32 MB of slabs leaves ample room
+    # for q/out/scratch; strict <, because 7B hit the scoped limit when an
+    # exactly-at-budget tile plus q/scratch overflowed the default ~17 MB).
+    budget = 32 * 1024 * 1024
     def fits(bs: int) -> bool:
-        return Hkv * bs * D * 2 * 2 * 2 <= budget
+        return Hkv * bs * D * 2 * 2 * 2 < budget
     if S <= 2 * DECODE_BLOCK_S:
         return DECODE_BLOCK_S if S % DECODE_BLOCK_S == 0 else S
     for bs in (DECODE_BLOCK_S_LONG, 512, DECODE_BLOCK_S):

@@ -186,6 +186,7 @@ def _paged_call(q_bhgd, k_pages, v_pages, k_scale, v_scale, page_table,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(page_table, kv_limit, *inputs)

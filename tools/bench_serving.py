@@ -43,6 +43,9 @@ def main() -> None:
                     help="int8 KV-cache (config 3: flash + INT8 KV)")
     ap.add_argument("--admit-per-tick", type=int, default=None,
                     help="cap admissions per decode tick (TTFT vs ramp)")
+    ap.add_argument("--prefill-chunk", type=int, default=0,
+                    help="overlapped admission: admit one prefill chunk "
+                    "per decode tick instead of a full-prompt stall")
     args = ap.parse_args()
 
     from gemma_tpu.models import GEMMA_2B, GEMMA_7B
@@ -62,6 +65,7 @@ def main() -> None:
         EngineConfig(
             max_seq_len=args.max_seq_len, max_batch=args.batch,
             paged=args.paged, kv_quantized=args.kv_quant,
+            prefill_chunk=args.prefill_chunk,
         ),
     )
 
@@ -105,6 +109,7 @@ def main() -> None:
                 "block": args.block,
                 "wall_s": round(wall, 2),
                 "admit_per_tick": args.admit_per_tick,
+                "prefill_chunk": args.prefill_chunk,
                 "kv_quant": args.kv_quant,
             }
         )
