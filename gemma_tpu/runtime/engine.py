@@ -60,10 +60,11 @@ class EngineConfig:
     # (which dominates through remote-attached accelerators) at the price
     # of a longer first compile. 1 = one program per token.
     decode_block: int = 8
-    # paged KV-cache (block tables over a shared page pool). TPU wants
-    # big pages: each grid step of the paged kernel DMAs one (page, D)
-    # tile, so small pages are per-step-overhead-bound (7B @2K: ps=64
-    # paged decode runs 0.65x dense; ps=16 would be ~4x worse)
+    # paged KV-cache (block tables over a shared page pool). Each grid
+    # step of the paged kernel DMAs one (Hkv, page, D) slab — since the
+    # round-4 all-heads-per-block kernels, ps=64 measures >= dense at
+    # 7B/4K (65.5 vs 60.2 tok/s bf16; 81.7 vs 81.4 int8 — BENCHMARKS.md),
+    # so the 64-token allocation granularity is free
     paged: bool = False
     page_size: int = 64
     n_pages: int | None = None  # default: max_batch * max_seq_len / page_size
