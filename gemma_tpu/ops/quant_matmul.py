@@ -107,13 +107,15 @@ def _q8_0_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, nsteps, f32dot):
     _acc_step(acc_ref, x_ref, w, nsteps, o_ref)
 
 
-def _q4_k_kernel(x_ref, xs_ref, qs_ref, sc6_ref, mn6_ref, dm_ref, o_ref, acc_ref, *, nsteps, f32dot):
+def _q4_k_kernel(x_ref, qs_ref, scm_ref, dm_ref, o_ref, acc_ref, *, nsteps, f32dot):
     # w = sc*(q-8) + (8sc - mn) with sc = d*sc6, mn = dmin*mn6 computed
     # here in f32 from EXACT int8 sub-scales and the exact bf16 hi/lo
     # d/dmin pair (qtensor.py layout v4) — bit-identical dequant to ggml.
     # The affine offset is rank-reduced to y += xsum32 @ offs (one small
-    # MXU dot), not a per-element add. Extra VPU cost: ~8 ops on 1/32-size
-    # arrays = ~0.25 ops/weight, for 21 % fewer stream bytes than v3.
+    # MXU dot), with the per-group activation sums computed IN-KERNEL from
+    # the x tile (a host-side xs side input cost a (bk/32, M) 8-lane DMA
+    # per step — more than all this math; bench_q4k_variants.py measured
+    # the whole metadata chain at ~0.1 us).
     _init_acc(acc_ref)
     w4 = pltpu.bitcast(qs_ref[...], jnp.int4)
     bk, bn = w4.shape
@@ -121,13 +123,16 @@ def _q4_k_kernel(x_ref, xs_ref, qs_ref, sc6_ref, mn6_ref, dm_ref, o_ref, acc_ref
     dm = dm_ref[...].astype(jnp.float32).reshape(S, 4, bn)
     d = dm[:, 0:1, :] + dm[:, 2:3, :]
     dmin = dm[:, 1:2, :] + dm[:, 3:4, :]
-    sc = (sc6_ref[...].astype(jnp.float32).reshape(S, 8, bn) * d).reshape(bk // 32, bn)
-    mn = (mn6_ref[...].astype(jnp.float32).reshape(S, 8, bn) * dmin).reshape(bk // 32, bn)
+    scm = scm_ref[...].astype(jnp.float32).reshape(S, 16, bn)
+    sc = (scm[:, 0:8, :] * d).reshape(bk // 32, bn)
+    mn = (scm[:, 8:16, :] * dmin).reshape(bk // 32, bn)
     offs = 8.0 * sc - mn
     w = _group_scale(w4.astype(jnp.float32), sc, f32dot)
+    bm = x_ref.shape[0]
+    xsum = x_ref[...].astype(jnp.float32).reshape(bm, bk // 32, 32).sum(-1)
     acc_ref[...] += jax.lax.dot_general(
-        xs_ref[...], offs,
-        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        xsum, offs,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
     _acc_step(acc_ref, x_ref, w, nsteps, o_ref)
 
@@ -153,7 +158,7 @@ def _q6_k_kernel(x_ref, qs_ref, sc8_ref, d_ref, o_ref, acc_ref, *, nsteps, f32do
 _FMT_ARRAYS = {
     "q4_0": ("qs", "scales"),
     "q8_0": ("qs", "scales"),
-    "q4_k": ("qs", "sc6", "mn6", "dm"),
+    "q4_k": ("qs", "scm", "dm"),
     "q6_k": ("qs", "sc8", "d"),
 }
 _FMT_KERNELS = {
@@ -166,12 +171,9 @@ _FMT_KERNELS = {
 # (bk * rows/K sublanes) must be a multiple of its dtype's native sublane
 # tile — 16 for bf16, 32 for int8. Binding constraints:
 #   q4_0/q8_0: bf16 scales [K/32, N]  -> bk % 512 == 0
-#   q4_k: int8 sc6/mn6 [K/32, N]      -> bk % 1024 == 0 (dm bf16 [K/64]
-#         needs bk % 1024 too)
+#   q4_k: int8 scm [K/16, N] -> bk % 512; dm bf16 [K/64] -> bk % 1024
 #   q6_k: bf16 d [K/64, N]            -> bk % 1024 == 0
 _FMT_BK_ALIGN = {"q4_0": 512, "q8_0": 512, "q4_k": 1024, "q6_k": 1024}
-# rank-reduced affine fold: group size of the xsum side input (None = none)
-_FMT_XSUM_GROUP = {"q4_0": None, "q8_0": None, "q4_k": 32, "q6_k": None}
 
 
 def _pick_bk(K: int, fmt: str) -> int | None:
@@ -191,7 +193,12 @@ def _pick_bn(N: int) -> int | None:
     # bn = N (up to 2048) makes each weight block a fully contiguous row
     # span of the [K-granule, N] array — measured at the ffn_down decode
     # shape: 31.5 us at bn=2048 vs 38.0 at bn=1024 (bench_qmm_variants);
-    # 1536 serves N=3072 (Gemma-7B attn_out) better than 1024
+    # 1536 serves N=3072 (Gemma-7B attn_out) better than 1024. Very wide
+    # N (the 258048-row lm_head) prefers 4096 — half the n-steps, measured
+    # 453.8 -> 434.7 us (tools/bench_bn_sweep.py); mid-size N does not
+    # (gate_up 62.8 -> 63.6).
+    if N >= 65536 and N % 4096 == 0:
+        return 4096
     for bn in (2048, 1536, 1024, 512, 256, 128):
         if N % bn == 0:
             return bn
@@ -227,7 +234,7 @@ def supports(x_shape: tuple[int, ...], qt: QTensor) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("fmt", "shape", "keys", "interpret"))
-def _qmm_call(x2d, xs, arrays, fmt, shape, keys, interpret):
+def _qmm_call(x2d, arrays, fmt, shape, keys, interpret):
     N, K = shape
     M = x2d.shape[0]
     bm = M  # caller already padded/bucketed M
@@ -244,13 +251,6 @@ def _qmm_call(x2d, xs, arrays, fmt, shape, keys, interpret):
 
     in_specs = [pl.BlockSpec((bm, bk), lambda m, n, k: (m, k))]
     inputs = [x2d]
-    if xs is not None:
-        # per-group activation sums for the affine fold, stored transposed
-        # [K/g, M]: the K-tiled block (bk/g, M) then satisfies Mosaic's
-        # (8, 128-or-full) tiling rule for any decode/prefill M
-        g = K // xs.shape[0]
-        in_specs.append(pl.BlockSpec((bk // g, M), lambda m, n, k: (k, m)))
-        inputs.append(xs)
     in_specs += [wspec(arrays[k]) for k in keys]
     inputs += [arrays[k] for k in keys]
 
@@ -297,14 +297,8 @@ def quant_matmul(x: jax.Array, qt: QTensor) -> jax.Array:
     Mp = ((M + bm - 1) // bm) * bm
     if Mp != M:
         x2d = jnp.pad(x2d, ((0, Mp - M), (0, 0)))
-    g = _FMT_XSUM_GROUP[qt.fmt]
-    xs = (
-        x2d.astype(jnp.float32).reshape(Mp, K // g, g).sum(-1).T
-        if g is not None
-        else None
-    )
     keys = _FMT_ARRAYS[qt.fmt]
-    out = _qmm_call(x2d, xs, qt.arrays, qt.fmt, qt.shape, keys, _interpret())
+    out = _qmm_call(x2d, qt.arrays, qt.fmt, qt.shape, keys, _interpret())
     if Mp != M:
         out = out[:M]
     return out.reshape(*lead, N)

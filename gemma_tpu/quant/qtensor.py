@@ -47,8 +47,9 @@ fmt    arrays                                                        bpw
 ====== ============================================================ ======
 q4_0   qs u8 [K/2, N] (signed q-8 pairs), scales bf16 [K/32, N]      4.5
 q8_0   qs i8 [K, N],   scales bf16 [K/32, N]                         8.5
-q4_k   qs u8 [K/2, N] (signed q-8 pairs), sc6 i8 [K/32, N],
-       mn6 i8 [K/32, N], dm bf16 [K/64, N] (d/dmin hi-lo rows)       4.75
+q4_k   qs u8 [K/2, N] (signed q-8 pairs), scm i8 [K/16, N]
+       (8 sc6 + 8 mn6 rows / superblock),
+       dm bf16 [K/64, N] (d/dmin hi-lo rows)                         4.75
 q6_k   qs i8 [K, N] (q-32 in [-32, 31]), sc8 i8 [K/16, N],
        d bf16 [K/64, N] (hi/lo pairs per superblock)                 8.75
 ====== ============================================================ ======
@@ -198,10 +199,15 @@ def pack_q4_k(raw, shape) -> dict[str, np.ndarray]:
     lo = qs & 0x0F
     hi = qs >> 4
     q = np.stack([lo, hi], axis=3).reshape(rows, cols).astype(np.int8) - 8
+    # scm: ONE int8 array [K/16, N] — per superblock 16 K-granule rows =
+    # 8 sc6 rows then 8 mn6 rows. One DMA stream instead of two (the
+    # production kernel is DMA-logistics-bound at decode M, not VPU-bound:
+    # tools/bench_q4k_variants.py measured the whole metadata math at
+    # ~0.1 us while each extra side stream cost real time).
+    scm = np.concatenate([sc6, mn6], axis=2)  # [rows, nsb, 16]
     return {
         "qs": _pack_signed_pairs(_t(q)),
-        "sc6": _t(sc6.reshape(rows, cols // 32)),
-        "mn6": _t(mn6.reshape(rows, cols // 32)),
+        "scm": _t(scm.reshape(rows, cols // 16)),
         "dm": _t(dm.reshape(rows, cols // 64)),
     }
 
@@ -315,8 +321,9 @@ def dequant_t(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
         S = K // 256
         dm = a["dm"].astype(jnp.float32).reshape(S, 4, N)
         d, dmin = dm[:, 0, :] + dm[:, 2, :], dm[:, 1, :] + dm[:, 3, :]
-        sc = (a["sc6"].astype(jnp.float32).reshape(S, 8, N) * d[:, None, :])
-        mn = (a["mn6"].astype(jnp.float32).reshape(S, 8, N) * dmin[:, None, :])
+        scm = a["scm"].astype(jnp.float32).reshape(S, 16, N)
+        sc = scm[:, 0:8, :] * d[:, None, :]
+        mn = scm[:, 8:16, :] * dmin[:, None, :]
         sc = sc.reshape(K // 32, N)
         offs = (8.0 * sc - mn.reshape(K // 32, N))
         x = (

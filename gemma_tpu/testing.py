@@ -98,8 +98,7 @@ def make_params(
         elif fmt == "q4_k":
             arrays = {
                 "qs": payload((cols // 2, rows), np.uint8),
-                "sc6": sub_scales((cols // 32, rows)),
-                "mn6": sub_scales((cols // 32, rows)),
+                "scm": sub_scales((cols // 16, rows)),
                 "dm": scales((cols // 64, rows)),
             }
         elif fmt == "q6_k":

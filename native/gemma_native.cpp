@@ -354,8 +354,9 @@ int gt_repack_q8_0(const uint8_t* raw, int64_t N, int64_t K, int8_t* qs,
 }
 
 int gt_repack_q4_k(const uint8_t* raw, int64_t N, int64_t K, uint8_t* qs,
-                   int8_t* sc6_out, int8_t* mn6_out, uint16_t* dm_out) {
-  // layout v4: EXACT 6-bit sub-scales/mins as int8 + per-superblock d/dmin
+                   int8_t* scm_out, uint16_t* dm_out) {
+  // layout v4: EXACT 6-bit sub-scales/mins as ONE int8 array [K/16, N]
+  // (per superblock: 8 sc6 rows then 8 mn6 rows) + per-superblock d/dmin
   // as exact bf16 hi/lo pairs, rows [d_hi, dmin_hi, d_lo, dmin_lo] at K/64
   // granularity (the kernel reconstructs f16-exact d = hi + lo in f32)
   int64_t nsb = K / 256;
@@ -370,9 +371,8 @@ int gt_repack_q4_k(const uint8_t* raw, int64_t N, int64_t K, uint8_t* qs,
         uint8_t sc6[8], mn6[8];
         scale_min_k4(b + 4, sc6, mn6);
         for (int g = 0; g < 8; ++g) {
-          int64_t gg = s * 8 + g;  // per-32 group index
-          sc6_out[gg * N + n] = (int8_t)sc6[g];
-          mn6_out[gg * N + n] = (int8_t)mn6[g];
+          scm_out[(s * 16 + g) * N + n] = (int8_t)sc6[g];
+          scm_out[(s * 16 + 8 + g) * N + n] = (int8_t)mn6[g];
         }
         dm_out[(s * 4 + 0) * N + n] = d_hi;
         dm_out[(s * 4 + 1) * N + n] = mn_hi;
