@@ -67,7 +67,7 @@ def _load():
         lib.gt_dequant.restype = ctypes.c_int
         lib.gt_repack_q4_0.argtypes = [u8p, i64, i64, u8p, u16p]
         lib.gt_repack_q8_0.argtypes = [u8p, i64, i64, i8p, u16p]
-        lib.gt_repack_q4_k.argtypes = [u8p, i64, i64, u8p, i8p, u16p]
+        lib.gt_repack_q4_k.argtypes = [u8p, i64, i64, u8p, i8p]
         lib.gt_repack_q6_k.argtypes = [u8p, i64, i64, i8p, i8p, u16p]
         for fn in (lib.gt_repack_q4_0, lib.gt_repack_q8_0, lib.gt_repack_q4_k,
                    lib.gt_repack_q6_k):
@@ -150,13 +150,11 @@ def repack(raw, t: GGMLType, shape: tuple[int, int]) -> dict[str, np.ndarray] | 
         return {"qs": qs, "scales": _wide(sc)}
     if t == GGMLType.Q4_K:
         qs = np.empty((K // 2, N), np.uint8)
-        scm = np.empty((K // 16, N), np.int8)
-        dm = np.empty((K // 64, N), np.uint16)
+        meta = np.empty((3 * K // 32, N), np.int8)
         lib.gt_repack_q4_k(
-            _ptr(buf, u8), N, K, _ptr(qs, u8),
-            _ptr(scm, ctypes.c_int8), _ptr(dm, ctypes.c_uint16),
+            _ptr(buf, u8), N, K, _ptr(qs, u8), _ptr(meta, ctypes.c_int8)
         )
-        return {"qs": qs, "scm": scm, "dm": _as_bf16(dm)}
+        return {"qs": qs, "meta": meta}
     if t == GGMLType.Q6_K:
         qs = np.empty((K, N), np.int8)
         sc8 = np.empty((K // 16, N), np.int8)

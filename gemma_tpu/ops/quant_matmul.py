@@ -107,32 +107,38 @@ def _q8_0_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, nsteps, f32dot):
     _acc_step(acc_ref, x_ref, w, nsteps, o_ref)
 
 
-def _q4_k_kernel(x_ref, qs_ref, scm_ref, dm_ref, o_ref, acc_ref, *, nsteps, f32dot):
+def _q4_k_kernel(x_ref, xs_ref, qs_ref, meta_ref, o_ref, acc_ref, *, nsteps, f32dot):
     # w = sc*(q-8) + (8sc - mn) with sc = d*sc6, mn = dmin*mn6 computed
     # here in f32 from EXACT int8 sub-scales and the exact bf16 hi/lo
     # d/dmin pair (qtensor.py layout v4) — bit-identical dequant to ggml.
-    # The affine offset is rank-reduced to y += xsum32 @ offs (one small
-    # MXU dot), with the per-group activation sums computed IN-KERNEL from
-    # the x tile (a host-side xs side input cost a (bk/32, M) 8-lane DMA
-    # per step — more than all this math; bench_q4k_variants.py measured
-    # the whole metadata chain at ~0.1 us).
+    # ALL metadata rides ONE int8 stream (24 rows/superblock: 16 sub-
+    # scales + the bf16 quad's lo/hi bytes, rebuilt via a 16-bit bitcast):
+    # the decode kernel is DMA-logistics-bound — each extra side stream
+    # measured ~1.3 us/kernel at ffn_down while the whole metadata math
+    # measured ~0.1 us (tools/bench_q4k_variants.py). The affine offset is
+    # rank-reduced to y += xsum32 @ offs (one small MXU dot).
     _init_acc(acc_ref)
     w4 = pltpu.bitcast(qs_ref[...], jnp.int4)
     bk, bn = w4.shape
     S = bk // 256
-    dm = dm_ref[...].astype(jnp.float32).reshape(S, 4, bn)
-    d = dm[:, 0:1, :] + dm[:, 2:3, :]
-    dmin = dm[:, 1:2, :] + dm[:, 3:4, :]
-    scm = scm_ref[...].astype(jnp.float32).reshape(S, 16, bn)
+    mv = meta_ref[...].reshape(S, 24, bn)
+    scm = mv[:, 0:16, :].astype(jnp.float32)
+    lo = mv[:, 16:20, :].astype(jnp.int32) & 0xFF
+    hi = mv[:, 20:24, :].astype(jnp.int32) & 0xFF
+    dmf = pltpu.bitcast(((hi << 8) | lo).astype(jnp.int16), jnp.bfloat16).astype(jnp.float32)
+    d = dmf[:, 0:1, :] + dmf[:, 2:3, :]
+    dmin = dmf[:, 1:2, :] + dmf[:, 3:4, :]
     sc = (scm[:, 0:8, :] * d).reshape(bk // 32, bn)
     mn = (scm[:, 8:16, :] * dmin).reshape(bk // 32, bn)
     offs = 8.0 * sc - mn
     w = _group_scale(w4.astype(jnp.float32), sc, f32dot)
-    bm = x_ref.shape[0]
-    xsum = x_ref[...].astype(jnp.float32).reshape(bm, bk // 32, 32).sum(-1)
+    # per-group activation sums arrive as a host-computed side input (an
+    # in-kernel group-indicator MXU dot was tried and re-built its
+    # indicator every grid step: gate_up regressed 66 -> 69 us; Mosaic
+    # cannot lane-split a (bm, bk) -> (bm, bk/32, 32) reshape directly)
     acc_ref[...] += jax.lax.dot_general(
-        xsum, offs,
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        xs_ref[...], offs,
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
     _acc_step(acc_ref, x_ref, w, nsteps, o_ref)
 
@@ -158,7 +164,7 @@ def _q6_k_kernel(x_ref, qs_ref, sc8_ref, d_ref, o_ref, acc_ref, *, nsteps, f32do
 _FMT_ARRAYS = {
     "q4_0": ("qs", "scales"),
     "q8_0": ("qs", "scales"),
-    "q4_k": ("qs", "scm", "dm"),
+    "q4_k": ("qs", "meta"),
     "q6_k": ("qs", "sc8", "d"),
 }
 _FMT_KERNELS = {
@@ -171,9 +177,11 @@ _FMT_KERNELS = {
 # (bk * rows/K sublanes) must be a multiple of its dtype's native sublane
 # tile — 16 for bf16, 32 for int8. Binding constraints:
 #   q4_0/q8_0: bf16 scales [K/32, N]  -> bk % 512 == 0
-#   q4_k: int8 scm [K/16, N] -> bk % 512; dm bf16 [K/64] -> bk % 1024
+#   q4_k: int8 meta [3K/32, N]        -> 3bk/32 % 32 -> bk % 1024 == 0
 #   q6_k: bf16 d [K/64, N]            -> bk % 1024 == 0
 _FMT_BK_ALIGN = {"q4_0": 512, "q8_0": 512, "q4_k": 1024, "q6_k": 1024}
+# rank-reduced affine fold: group size of the xsum side input (None = none)
+_FMT_XSUM_GROUP = {"q4_0": None, "q8_0": None, "q4_k": 32, "q6_k": None}
 
 
 def _pick_bk(K: int, fmt: str) -> int | None:
@@ -189,7 +197,7 @@ def _pick_bk(K: int, fmt: str) -> int | None:
     return None
 
 
-def _pick_bn(N: int) -> int | None:
+def _pick_bn(N: int, fmt: str = "q4_0") -> int | None:
     # bn = N (up to 2048) makes each weight block a fully contiguous row
     # span of the [K-granule, N] array — measured at the ffn_down decode
     # shape: 31.5 us at bn=2048 vs 38.0 at bn=1024 (bench_qmm_variants);
@@ -197,7 +205,9 @@ def _pick_bn(N: int) -> int | None:
     # N (the 258048-row lm_head) prefers 4096 — half the n-steps, measured
     # 453.8 -> 434.7 us (tools/bench_bn_sweep.py); mid-size N does not
     # (gate_up 62.8 -> 63.6).
-    if N >= 65536 and N % 4096 == 0:
+    # 4-bit formats only: int8-payload tiles at bn=4096 are 2x the bytes
+    # (8 MB K+V-side per step) and were not a measured win
+    if fmt in ("q4_0", "q4_k") and N >= 65536 and N % 4096 == 0:
         return 4096
     for bn in (2048, 1536, 1024, 512, 256, 128):
         if N % bn == 0:
@@ -229,17 +239,17 @@ def supports(x_shape: tuple[int, ...], qt: QTensor) -> bool:
     return (
         qt.fmt in _FMT_BK_ALIGN
         and _pick_bk(K, qt.fmt) is not None
-        and _pick_bn(N) is not None
+        and _pick_bn(N, qt.fmt) is not None
     )
 
 
 @functools.partial(jax.jit, static_argnames=("fmt", "shape", "keys", "interpret"))
-def _qmm_call(x2d, arrays, fmt, shape, keys, interpret):
+def _qmm_call(x2d, xs, arrays, fmt, shape, keys, interpret):
     N, K = shape
     M = x2d.shape[0]
     bm = M  # caller already padded/bucketed M
     bk = _pick_bk(K, fmt)
-    bn = _pick_bn(N)
+    bn = _pick_bn(N, fmt)
     nsteps = K // bk
     grid = (M // bm, N // bn, nsteps)
 
@@ -251,6 +261,13 @@ def _qmm_call(x2d, arrays, fmt, shape, keys, interpret):
 
     in_specs = [pl.BlockSpec((bm, bk), lambda m, n, k: (m, k))]
     inputs = [x2d]
+    if xs is not None:
+        # per-group activation sums for the affine fold, stored transposed
+        # [K/g, M]: the K-tiled block (bk/g, M) then satisfies Mosaic's
+        # (8, 128-or-full) tiling rule for any decode/prefill M
+        g = K // xs.shape[0]
+        in_specs.append(pl.BlockSpec((bk // g, M), lambda m, n, k: (k, m)))
+        inputs.append(xs)
     in_specs += [wspec(arrays[k]) for k in keys]
     inputs += [arrays[k] for k in keys]
 
@@ -297,8 +314,14 @@ def quant_matmul(x: jax.Array, qt: QTensor) -> jax.Array:
     Mp = ((M + bm - 1) // bm) * bm
     if Mp != M:
         x2d = jnp.pad(x2d, ((0, Mp - M), (0, 0)))
+    g = _FMT_XSUM_GROUP[qt.fmt]
+    xs = (
+        x2d.astype(jnp.float32).reshape(Mp, K // g, g).sum(-1).T
+        if g is not None
+        else None
+    )
     keys = _FMT_ARRAYS[qt.fmt]
-    out = _qmm_call(x2d, qt.arrays, qt.fmt, qt.shape, keys, _interpret())
+    out = _qmm_call(x2d, xs, qt.arrays, qt.fmt, qt.shape, keys, _interpret())
     if Mp != M:
         out = out[:M]
     return out.reshape(*lead, N)

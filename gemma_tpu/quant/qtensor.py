@@ -47,9 +47,9 @@ fmt    arrays                                                        bpw
 ====== ============================================================ ======
 q4_0   qs u8 [K/2, N] (signed q-8 pairs), scales bf16 [K/32, N]      4.5
 q8_0   qs i8 [K, N],   scales bf16 [K/32, N]                         8.5
-q4_k   qs u8 [K/2, N] (signed q-8 pairs), scm i8 [K/16, N]
-       (8 sc6 + 8 mn6 rows / superblock),
-       dm bf16 [K/64, N] (d/dmin hi-lo rows)                         4.75
+q4_k   qs u8 [K/2, N] (signed q-8 pairs), meta i8 [3K/32, N]
+       (24 rows/superblock: 8 sc6, 8 mn6, 4 lo + 4 hi bytes of
+       the bf16 [d_hi, dmin_hi, d_lo, dmin_lo] quad)                 4.75
 q6_k   qs i8 [K, N] (q-32 in [-32, 31]), sc8 i8 [K/16, N],
        d bf16 [K/64, N] (hi/lo pairs per superblock)                 8.75
 ====== ============================================================ ======
@@ -199,16 +199,25 @@ def pack_q4_k(raw, shape) -> dict[str, np.ndarray]:
     lo = qs & 0x0F
     hi = qs >> 4
     q = np.stack([lo, hi], axis=3).reshape(rows, cols).astype(np.int8) - 8
-    # scm: ONE int8 array [K/16, N] — per superblock 16 K-granule rows =
-    # 8 sc6 rows then 8 mn6 rows. One DMA stream instead of two (the
-    # production kernel is DMA-logistics-bound at decode M, not VPU-bound:
-    # tools/bench_q4k_variants.py measured the whole metadata math at
-    # ~0.1 us while each extra side stream cost real time).
-    scm = np.concatenate([sc6, mn6], axis=2)  # [rows, nsb, 16]
+    # meta: ALL q4_k metadata in ONE int8 array [3K/32, N] — per superblock
+    # 24 K-granule rows: 8 sc6, 8 mn6, 4 low bytes of the bf16 hi/lo
+    # d/dmin quad, 4 high bytes (the kernel rebuilds bf16 via a 16-bit
+    # bitcast). One DMA stream instead of three: the decode kernel is
+    # DMA-logistics-bound, not VPU-bound — tools/bench_q4k_variants.py
+    # measured the whole metadata math at ~0.1 us while every extra side
+    # stream cost ~1.3 us/kernel at the ffn_down shape.
+    dmu = np.ascontiguousarray(dm).view(np.uint16)  # [rows, nsb, 4] bf16 bits
+    meta = np.concatenate(
+        [
+            sc6, mn6,
+            (dmu & 0xFF).astype(np.int8),
+            (dmu >> 8).astype(np.int8),
+        ],
+        axis=2,
+    )  # [rows, nsb, 24]
     return {
         "qs": _pack_signed_pairs(_t(q)),
-        "scm": _t(scm.reshape(rows, cols // 16)),
-        "dm": _t(dm.reshape(rows, cols // 64)),
+        "meta": _t(meta.reshape(rows, 3 * cols // 32)),
     }
 
 
@@ -315,13 +324,17 @@ def dequant_t(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
         x = (q.reshape(K // 32, 32, N) * sc[:, None, :]).reshape(K, N)
     elif qt.fmt == "q4_k":
         # w = sc*(q-8) + (8*sc - mn), sc = d*sc6, mn = dmin*mn6 — f32 math
-        # from exact int sub-scales and the exact bf16 hi/lo d/dmin pair:
-        # bit-identical to ggml's dequant arithmetic
+        # from exact int sub-scales and the exact bf16 hi/lo d/dmin pair
+        # (rebuilt from its lo/hi byte rows): bit-identical to ggml
         q = _unpack_signed_pairs(a["qs"]).astype(jnp.float32)
         S = K // 256
-        dm = a["dm"].astype(jnp.float32).reshape(S, 4, N)
-        d, dmin = dm[:, 0, :] + dm[:, 2, :], dm[:, 1, :] + dm[:, 3, :]
-        scm = a["scm"].astype(jnp.float32).reshape(S, 16, N)
+        mv = a["meta"].reshape(S, 24, N)
+        scm = mv[:, 0:16, :].astype(jnp.float32)
+        lo = mv[:, 16:20, :].astype(jnp.int32) & 0xFF
+        hi = mv[:, 20:24, :].astype(jnp.int32) & 0xFF
+        dm16 = ((hi << 8) | lo).astype(jnp.uint16)
+        dmf = jax.lax.bitcast_convert_type(dm16, jnp.bfloat16).astype(jnp.float32)
+        d, dmin = dmf[:, 0, :] + dmf[:, 2, :], dmf[:, 1, :] + dmf[:, 3, :]
         sc = scm[:, 0:8, :] * d[:, None, :]
         mn = scm[:, 8:16, :] * dmin[:, None, :]
         sc = sc.reshape(K // 32, N)

@@ -96,11 +96,19 @@ def make_params(
         elif fmt == "q8_0":
             arrays = {"qs": payload((cols, rows), np.int8), "scales": scales((cols // 32, rows))}
         elif fmt == "q4_k":
-            arrays = {
-                "qs": payload((cols // 2, rows), np.uint8),
-                "scm": sub_scales((cols // 16, rows)),
-                "dm": scales((cols // 64, rows)),
-            }
+            # meta rows per superblock: 16 int8 sub-scales + the bf16
+            # d/dmin quad's lo/hi byte rows (see qtensor.pack_q4_k)
+            n_sb = cols // 256
+            dmu = scales((n_sb, 4, rows)).view(np.uint16)
+            meta = np.concatenate(
+                [
+                    sub_scales((n_sb, 16, rows)).astype(np.int8),
+                    (dmu & 0xFF).astype(np.int8),
+                    (dmu >> 8).astype(np.int8),
+                ],
+                axis=1,
+            ).reshape(3 * cols // 32, rows)
+            arrays = {"qs": payload((cols // 2, rows), np.uint8), "meta": meta}
         elif fmt == "q6_k":
             arrays = {
                 "qs": payload((cols, rows), np.int8),

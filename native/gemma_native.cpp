@@ -354,30 +354,32 @@ int gt_repack_q8_0(const uint8_t* raw, int64_t N, int64_t K, int8_t* qs,
 }
 
 int gt_repack_q4_k(const uint8_t* raw, int64_t N, int64_t K, uint8_t* qs,
-                   int8_t* scm_out, uint16_t* dm_out) {
-  // layout v4: EXACT 6-bit sub-scales/mins as ONE int8 array [K/16, N]
-  // (per superblock: 8 sc6 rows then 8 mn6 rows) + per-superblock d/dmin
-  // as exact bf16 hi/lo pairs, rows [d_hi, dmin_hi, d_lo, dmin_lo] at K/64
-  // granularity (the kernel reconstructs f16-exact d = hi + lo in f32)
+                   int8_t* meta_out) {
+  // layout v4: ALL metadata in ONE int8 array [3K/32, N]; per superblock
+  // 24 K-granule rows = 8 sc6, 8 mn6 (exact 6-bit sub-scales/mins), then
+  // the bf16 hi/lo quad [d_hi, dmin_hi, d_lo, dmin_lo] as 4 low-byte rows
+  // + 4 high-byte rows (the kernel rebuilds bf16 via a 16-bit bitcast and
+  // reconstructs f16-exact d = hi + lo in f32)
   int64_t nsb = K / 256;
   parallel_rows(N, [&](int64_t lo, int64_t hi) {
     for (int64_t n = lo; n < hi; ++n) {
       const uint8_t* row = raw + n * nsb * 144;
       for (int64_t s = 0; s < nsb; ++s) {
         const uint8_t* b = row + s * 144;
-        uint16_t d_hi, d_lo, mn_hi, mn_lo;
-        bf16_hi_lo(rd_f16(b), &d_hi, &d_lo);
-        bf16_hi_lo(rd_f16(b + 2), &mn_hi, &mn_lo);
+        uint16_t quad[4];
+        bf16_hi_lo(rd_f16(b), &quad[0], &quad[2]);
+        bf16_hi_lo(rd_f16(b + 2), &quad[1], &quad[3]);
         uint8_t sc6[8], mn6[8];
         scale_min_k4(b + 4, sc6, mn6);
+        int8_t* m = meta_out;
         for (int g = 0; g < 8; ++g) {
-          scm_out[(s * 16 + g) * N + n] = (int8_t)sc6[g];
-          scm_out[(s * 16 + 8 + g) * N + n] = (int8_t)mn6[g];
+          m[(s * 24 + g) * N + n] = (int8_t)sc6[g];
+          m[(s * 24 + 8 + g) * N + n] = (int8_t)mn6[g];
         }
-        dm_out[(s * 4 + 0) * N + n] = d_hi;
-        dm_out[(s * 4 + 1) * N + n] = mn_hi;
-        dm_out[(s * 4 + 2) * N + n] = d_lo;
-        dm_out[(s * 4 + 3) * N + n] = mn_lo;
+        for (int r = 0; r < 4; ++r) {
+          m[(s * 24 + 16 + r) * N + n] = (int8_t)(quad[r] & 0xFF);
+          m[(s * 24 + 20 + r) * N + n] = (int8_t)(quad[r] >> 8);
+        }
         // chunk c (32B): elements 64c+i = ch[i]&0xF (i<32), 64c+32+i = ch[i]>>4
         const uint8_t* ch0 = b + 16;
         for (int c = 0; c < 4; ++c) {

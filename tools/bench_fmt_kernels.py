@@ -57,12 +57,17 @@ def make_qt(fmt, N, K, rng):
     elif fmt == "q8_0":
         arrays = {"qs": payload((K, N), np.int8), "scales": scales((K // 32, N))}
     elif fmt == "q4_k":
-        arrays = {
-            "qs": payload((K // 2, N), np.uint8),
-            "sc6": subs((K // 32, N)),
-            "mn6": subs((K // 32, N)),
-            "dm": scales((K // 64, N)),
-        }
+        n_sb = K // 256
+        dmu = scales((n_sb, 4, N)).view(np.uint16)
+        meta = np.concatenate(
+            [
+                subs((n_sb, 16, N)).astype(np.int8),
+                (dmu & 0xFF).astype(np.int8),
+                (dmu >> 8).astype(np.int8),
+            ],
+            axis=1,
+        ).reshape(3 * K // 32, N)
+        arrays = {"qs": payload((K // 2, N), np.uint8), "meta": meta}
     elif fmt == "q6_k":
         arrays = {
             "qs": payload((K, N), np.int8),
