@@ -111,14 +111,33 @@ def measure(fmt, N, K, reps=5, r=32):
     return med, nbytes / med / 1e9, nbytes
 
 
-def main():
-    shapes = [
+SHAPES = {
+    # Gemma-2B decode shapes (fused projections, padded vocab)
+    "2b": [
         ("ffn_down", 2048, 16384),
         ("gate_up", 32768, 2048),
-        ("lm_head", 258048, 2048),
-    ]
-    fmts = sys.argv[1:] or ["q4_0", "q4_k", "q6_k", "q8_0"]
-    print(f"device: {jax.devices()[0].device_kind}, M={M}, CH={CH}")
+        ("lm_head", 256000, 2048),
+    ],
+    # Gemma-7B (VERDICT r3 #3 attribution): K=3072 / N=3072/4096/49152,
+    # vocab 256000
+    "7b": [
+        ("qkv", 12288, 3072),
+        ("attn_out", 3072, 4096),
+        ("gate_up", 49152, 3072),
+        ("ffn_down", 3072, 24576),
+        ("lm_head", 256000, 3072),
+    ],
+}
+
+
+def main():
+    model = "2b"
+    args = [a for a in sys.argv[1:]]
+    if args and args[0] in SHAPES:
+        model = args.pop(0)
+    shapes = SHAPES[model]
+    fmts = args or ["q4_0", "q4_k", "q6_k", "q8_0"]
+    print(f"device: {jax.devices()[0].device_kind}, {model}, M={M}, CH={CH}")
     for name, N, K in shapes:
         for fmt in fmts:
             dt, gbs, nb = measure(fmt, N, K)
