@@ -331,7 +331,7 @@ def cmd_quantize(args) -> int:
     # llama.cpp LLAMA_FTYPE_* values: the output must advertise ITS quant
     # type, not the source's (downstream tooling reads general.file_type)
     ftype = {"f16": 1, "q4_0": 2, "q8_0": 7, "q4_k": 14, "q4_k_m": 15,
-             "q6_k": 18}[args.type]
+             "q5_k": 16, "q5_k_m": 17, "q6_k": 18}[args.type]
     for k, v in reader.metadata.items():
         w.add_kv(k, np.uint32(ftype) if k == "general.file_type" else v)
     if "general.file_type" not in reader.metadata:
@@ -339,12 +339,16 @@ def cmd_quantize(args) -> int:
 
     name_to_type = {
         "q4_0": GGMLType.Q4_0, "q8_0": GGMLType.Q8_0,
-        "q4_k": GGMLType.Q4_K, "q6_k": GGMLType.Q6_K, "f16": GGMLType.F16,
+        "q4_k": GGMLType.Q4_K, "q5_k": GGMLType.Q5_K,
+        "q6_k": GGMLType.Q6_K, "f16": GGMLType.F16,
     }
-    mixed = args.type == "q4_k_m"
-    base = GGMLType.Q4_K if mixed else name_to_type[args.type]
+    mixed = args.type in ("q4_k_m", "q5_k_m")
+    base = (
+        {"q4_k_m": GGMLType.Q4_K, "q5_k_m": GGMLType.Q5_K}[args.type]
+        if mixed else name_to_type[args.type]
+    )
     block = {GGMLType.Q4_0: 32, GGMLType.Q8_0: 32, GGMLType.Q4_K: 256,
-             GGMLType.Q6_K: 256, GGMLType.F16: 1}
+             GGMLType.Q5_K: 256, GGMLType.Q6_K: 256, GGMLType.F16: 1}
 
     n_q = 0
     for ti in reader:
@@ -454,7 +458,8 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("model", help="source GGUF (any format)")
     q.add_argument("out", help="output GGUF path")
     q.add_argument("--type", default="q4_0",
-                   choices=("q4_0", "q8_0", "q4_k", "q6_k", "q4_k_m", "f16"))
+                   choices=("q4_0", "q8_0", "q4_k", "q5_k", "q6_k",
+                            "q4_k_m", "q5_k_m", "f16"))
     q.set_defaults(fn=cmd_quantize)
     return ap
 

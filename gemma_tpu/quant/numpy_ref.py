@@ -189,6 +189,45 @@ def quant_q4_k(x: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def quant_q5_k(x: np.ndarray) -> bytes:
+    # same super-block affine search as quant_q4_k, 5-bit values [0, 31]
+    # (ggml quantize_row_q5_K simplified the same way: round-to-nearest
+    # against the f16-rounded effective scales); bit layout mirrors
+    # dequant_q5_k exactly — qs lo-nibbles per 32-chunk, qh bit-planes
+    x = np.asarray(x, dtype=F32).reshape(-1, 8, 32)
+    nb = x.shape[0]
+    xmin = np.minimum(x.min(axis=2), 0.0)
+    xmax = np.maximum(x.max(axis=2), xmin + 1e-30)
+    sub_scale = (xmax - xmin) / 31.0
+    sub_min = -xmin
+    d = sub_scale.max(axis=1, keepdims=True) / 63.0
+    dmin = sub_min.max(axis=1, keepdims=True) / 63.0
+    inv_d = np.where(d > 0, 1.0 / np.where(d == 0, 1, d), 0.0)
+    inv_m = np.where(dmin > 0, 1.0 / np.where(dmin == 0, 1, dmin), 0.0)
+    sc = np.round(sub_scale * inv_d).clip(0, 63).astype(np.uint8)
+    mn = np.round(sub_min * inv_m).clip(0, 63).astype(np.uint8)
+    d16 = d.astype("<f2")
+    dmin16 = dmin.astype("<f2")
+    eff_scale = d16.astype(F32) * sc
+    eff_min = dmin16.astype(F32) * mn
+    inv_s = np.where(eff_scale > 0, 1.0 / np.where(eff_scale == 0, 1, eff_scale), 0.0)
+    q = np.round((x + eff_min[:, :, None]) * inv_s[:, :, None]).clip(0, 31).astype(np.uint8)
+    qs = np.empty((nb, 4, 32), dtype=np.uint8)
+    qh = np.zeros((nb, 32), dtype=np.uint8)
+    for c in range(4):
+        lo5, hi5 = q[:, 2 * c], q[:, 2 * c + 1]
+        qs[:, c] = (lo5 & 0x0F) | ((hi5 & 0x0F) << 4)
+        qh |= ((lo5 >> 4) & 1) << (2 * c)
+        qh |= ((hi5 >> 4) & 1) << (2 * c + 1)
+    out = np.empty((nb, 176), dtype=np.uint8)
+    out[:, 0:2] = d16.view(np.uint8)
+    out[:, 2:4] = dmin16.view(np.uint8)
+    out[:, 4:16] = _pack_scale_min_k4(sc, mn)
+    out[:, 16:48] = qh
+    out[:, 48:176] = qs.reshape(nb, 128)
+    return out.tobytes()
+
+
 def dequant_q5_k(raw) -> np.ndarray:
     b = _as_blocks(raw, GGMLType.Q5_K)
     d = b[:, 0:2].copy().view("<f2").astype(F32)
@@ -316,6 +355,7 @@ _QUANT = {
     GGMLType.Q4_0: quant_q4_0,
     GGMLType.Q8_0: quant_q8_0,
     GGMLType.Q4_K: quant_q4_k,
+    GGMLType.Q5_K: quant_q5_k,
     GGMLType.Q6_K: quant_q6_k,
     GGMLType.Q8_K: quant_q8_k,
 }

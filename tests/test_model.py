@@ -211,3 +211,32 @@ def test_chunked_prefill_paged(tiny_model):
     got = eng.generate([prompt], 5)
     want = dense.generate([prompt], 5)
     assert got == want
+
+
+def test_q5_k_checkpoint_loads_and_generates(tmp_path):
+    """A checkpoint using formats WITHOUT device kernels (Q5_K here — what
+    a user's q5_k_m file contains) must still load in quantized mode: such
+    tensors fall back to bf16 dequant at load, kernel-format tensors keep
+    their fused path, and generation matches the dequant-mode engine."""
+    import numpy as np
+
+    from gemma_tpu.gguf import GGMLType, GGUFReader
+    from gemma_tpu.models import load_params
+    from gemma_tpu.models.config import GemmaConfig
+    from gemma_tpu.runtime import Engine, EngineConfig
+    from gemma_tpu.testing import make_gguf
+
+    cfg0 = GemmaConfig(  # K-quant superblocks need 256-multiple rows
+        vocab_size=512, d_model=256, n_layers=2, n_heads=4, n_kv_heads=2,
+        head_dim=64, d_ff=256, context_length=128,
+    )
+    path = make_gguf(tmp_path / "q5.gguf", cfg0,
+                     weight_type=GGMLType.Q5_K, seed=9)
+    cfg, qparams = load_params(GGUFReader(path), mode="quantized")
+    cfg2, fparams = load_params(GGUFReader(path), mode="dequant")
+    eq = Engine(cfg, qparams, EngineConfig(max_seq_len=64, donate_cache=False))
+    ef = Engine(cfg2, fparams, EngineConfig(max_seq_len=64, donate_cache=False))
+    prompt = [1, 7, 300, 42]
+    a = eq.generate([prompt], max_new_tokens=6)[0]
+    b = ef.generate([prompt], max_new_tokens=6)[0]
+    assert a == b and len(a) == 6

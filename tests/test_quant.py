@@ -11,6 +11,7 @@ from gemma_tpu.quant.numpy_ref import _pack_scale_min_k4, _unpack_scale_min_k4
 ROUNDTRIP_TOL = {
     GGMLType.Q4_0: 0.095,
     GGMLType.Q4_K: 0.088,
+    GGMLType.Q5_K: 0.045,
     GGMLType.Q6_K: 0.022,
     GGMLType.Q8_0: 0.007,
     GGMLType.Q8_K: 0.009,
