@@ -107,7 +107,15 @@ def cmd_generate(args) -> int:
     if args.tokens:
         prompt = [int(t) for t in args.tokens.split(",")]
     else:
-        prompt = tok.encode(args.prompt)
+        text = args.prompt
+        if args.chat:
+            # Gemma instruction-tuned turn format — the reference HARDCODES
+            # a chat-templated id sequence (gemma_model.cpp:549); this
+            # produces it from text (control tokens match literally in the
+            # tokenizer and encode to single ids)
+            text = (f"<start_of_turn>user\n{text}<end_of_turn>\n"
+                    "<start_of_turn>model\n")
+        prompt = tok.encode(text)
     if len(prompt) >= args.max_seq_len:
         print(f"prompt ({len(prompt)} tokens) must be shorter than "
               f"--max-seq-len {args.max_seq_len}", file=sys.stderr)
@@ -149,10 +157,23 @@ def cmd_generate(args) -> int:
     t_prefill = time.time() - t0
 
     t1 = time.time()
-    out = eng.generate_from(
-        first_logits, cache, budget, sampling=sampling, eos_id=eos,
-        seed=args.seed, on_token=on_token if args.stream else None,
-    )[0]
+    if args.speculative and sampling.is_greedy:
+        from .runtime.speculative import SpecDecoder
+
+        spec = SpecDecoder(eng, k=args.spec_k)
+        out = spec.generate(prompt, budget)
+        if eos is not None and eos in out:
+            out = out[: out.index(eos) + 1]
+        for t in out if args.stream else ():
+            on_token(0, [t])
+    else:
+        if args.speculative:
+            print("--speculative requires greedy sampling; ignoring",
+                  file=sys.stderr)
+        out = eng.generate_from(
+            first_logits, cache, budget, sampling=sampling, eos_id=eos,
+            seed=args.seed, on_token=on_token if args.stream else None,
+        )[0]
     t_decode = time.time() - t1
     if args.stream:
         print()
@@ -408,6 +429,17 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--top-k", type=int, default=0)
     g.add_argument("--top-p", type=float, default=1.0)
     g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--speculative", action="store_true",
+                   help="prompt-lookup speculative decoding (greedy only): "
+                   "drafts k tokens from the token history and verifies "
+                   "them in one forward — exact greedy stream, >1 token "
+                   "per weight pass on repetitive continuations")
+    g.add_argument("--spec-k", type=int, default=8,
+                   help="draft tokens per speculative verify step")
+    g.add_argument("--chat", action="store_true",
+                   help="wrap the prompt in the Gemma instruction-tuned "
+                   "turn template (the reference's hardcoded prompt is "
+                   "chat-templated ids, gemma_model.cpp:549)")
     g.add_argument("--stream", action="store_true",
                    help="print tokens as they decode")
     g.add_argument("--no-eos", dest="eos", action="store_false",

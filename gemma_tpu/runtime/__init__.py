@@ -13,10 +13,14 @@ def __getattr__(name):
         from .serving import serve
 
         return serve
+    if name == "SpecDecoder":
+        from .speculative import SpecDecoder
+
+        return SpecDecoder
     raise AttributeError(name)
 
 
 __all__ = [
     "Engine", "EngineConfig", "KVCache", "SamplingParams", "sample",
-    "Scheduler", "Request", "serve",
+    "Scheduler", "Request", "serve", "SpecDecoder",
 ]

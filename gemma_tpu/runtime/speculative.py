@@ -1,0 +1,155 @@
+"""Prompt-lookup speculative decoding — fully on-device, async-chainable.
+
+A serving capability the reference cannot express (it decodes strictly one
+token per graph execution, /root/reference/src/gemma_model.cpp:548-575).
+Batch-1 greedy decode streams EVERY weight byte to emit ONE token;
+speculative decoding drafts k continuation candidates, verifies them in a
+single (k+1)-position forward — which streams the weights ONCE — and emits
+every accepted draft plus the correcting token. The output is EXACTLY the
+greedy token stream (verification replays argmax), so this is a pure
+throughput transform; gains scale with how repetitive the continuation is
+(code, extraction, quoting — prompt-lookup needs no draft model).
+
+TPU-first formulation: CPU implementations sync with the host every step
+to run the n-gram lookup. Here the ENTIRE step — bigram lookup over the
+on-device token history, (k+1)-token verification forward, acceptance,
+cache-length rollback, history append — is one traced program, so steps
+chain through the dispatch queue with zero host round-trips (the property
+the plain decode path already exploits; through a remote-attached
+accelerator a per-step sync costs more than the compute). The host drains
+`(tokens [n, k+1], counts [n])` once per block and truncates.
+
+Cache semantics: the verify forward writes K/V for all k+1 positions; the
+accepted prefix advances `cache.length`, and the stale tail is simply
+overwritten by the next step's writes at the new length (attention masks
+`col < kv_limit`, so stale rows are never read).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import gemma
+
+
+class SpecDecoder:
+    """Owns the jitted speculative block step for one Engine (B=1, greedy,
+    dense cache)."""
+
+    def __init__(self, engine, k: int = 8, block: int = 4):
+        self.engine = engine
+        self.k = int(k)
+        self.block = int(block)
+        if engine.ecfg.paged:
+            raise ValueError("speculative decoding requires the dense cache")
+        self._step = jax.jit(
+            functools.partial(self._block_impl, n=self.block),
+            donate_argnums=(2,) if engine.ecfg.donate_cache else (),
+        )
+
+    # -- in-graph pieces ---------------------------------------------------
+    def _draft(self, history, hist_len, t_prev, t_cur):
+        """Most-recent bigram match in history[:hist_len]; returns the k
+        tokens following the match (junk when no match — they just fail
+        verification). The trailing pair (t_prev, t_cur) itself sits at
+        hist_len-2 and is excluded (its continuation is what we're
+        predicting). history [L] i32."""
+        L = history.shape[0]
+        idx = jnp.arange(L, dtype=jnp.int32)
+        nxt = jnp.roll(history, -1)
+        match = (history == t_prev) & (nxt == t_cur) & (idx < hist_len - 2)
+        p = jnp.max(jnp.where(match, idx, -1))
+        start = jnp.clip(p + 2, 0, L - self.k)
+        drafts = jax.lax.dynamic_slice(history, (start,), (self.k,))
+        # no match: propose the current token repeated (still verified)
+        return jnp.where(p >= 0, drafts, jnp.full((self.k,), t_cur))
+
+    def _spec_step(self, params, carry):
+        """One draft+verify step. carry = (t_cur, t_prev, cache, history,
+        hist_len); emits (emitted [k+1], n_emitted) — first n valid."""
+        eng = self.engine
+        t_cur, t_prev, cache, history, hist_len = carry
+        k = self.k
+        drafts = self._draft(history, hist_len, t_prev, t_cur)
+        toks = jnp.concatenate([t_cur[None], drafts]).astype(jnp.int32)
+        length = cache.length  # [1]
+        positions = length[:, None] + jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+        logits, cache = gemma.forward(
+            params, eng.cfg, toks[None, :], positions, cache,
+            write_index=length, kv_limit=length + k + 1,
+        )  # [1, k+1, vocab]
+        g = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)  # greedy at each pos
+        # accept drafts while they reproduce greedy: draft_i == g_{i-1}
+        acc = jnp.cumprod((drafts == g[:k]).astype(jnp.int32))
+        a = jnp.sum(acc)  # accepted drafts in [0, k]
+        # the emitted continuation [d_1..d_a, g_{a+1}] equals g[0..a]
+        n_emit = a + 1
+        cache = dataclasses.replace(cache, length=length + n_emit)
+        history = jax.lax.dynamic_update_slice(history, g, (hist_len,))
+        hist_len = hist_len + n_emit
+        t_cur2 = g[a]  # the correcting token, next step's input
+        t_prev2 = jnp.where(a > 0, g[a - 1], t_cur)
+        return (t_cur2, t_prev2, cache, history, hist_len), g, n_emit
+
+    def _block_impl(self, params, carry0, cache, *, n):
+        t_cur, t_prev, history, hist_len = carry0
+        carry = (t_cur, t_prev, cache, history, hist_len)
+        outs, counts = [], []
+        for _ in range(n):
+            carry, e, c = self._spec_step(params, carry)
+            outs.append(e)
+            counts.append(c)
+        t_cur, t_prev, cache, history, hist_len = carry
+        return (
+            (t_cur, t_prev, history, hist_len),
+            jnp.stack(outs),  # [n, k+1]
+            jnp.stack(counts),  # [n]
+            cache,
+        )
+
+    # -- host driver -------------------------------------------------------
+    def generate(self, prompt: list[int], max_new_tokens: int) -> list[int]:
+        """Greedy generation, token-equal to Engine.generate_fused's greedy
+        stream, emitting 1..k+1 tokens per verify forward. Returns exactly
+        `max_new_tokens` tokens (no early EOS exit, like generate_fused)."""
+        eng = self.engine
+        S = eng.ecfg.max_seq_len
+        # every step transiently writes k+1 rows past the current length,
+        # and the final block can over-emit before the host truncates —
+        # worst case: prompt + max_new + (block+1)*(k+1) rows (a clamped
+        # dynamic_update_slice would silently corrupt earlier rows, so
+        # this is a hard precondition, not a soft budget)
+        if len(prompt) + max_new_tokens + (self.block + 1) * (self.k + 1) > S:
+            raise ValueError(
+                f"prompt ({len(prompt)}) + max_new_tokens ({max_new_tokens}) "
+                f"+ worst-case draft window ({(self.block + 1) * (self.k + 1)}) "
+                f"exceeds max_seq_len {S}"
+            )
+        logits, cache = eng.prefill([prompt])
+        t0 = int(np.asarray(jnp.argmax(logits[0])))
+        history = np.zeros(S + self.k + 2, np.int32)
+        history[: len(prompt)] = prompt
+        history[len(prompt)] = t0
+        carry = (
+            jnp.asarray(t0, jnp.int32),
+            jnp.asarray(prompt[-1] if prompt else 0, jnp.int32),
+            jnp.asarray(history),
+            jnp.asarray(len(prompt) + 1, jnp.int32),
+        )
+        out: list[int] = [t0]
+        self.steps = 0  # verify forwards issued (for accept-rate reporting)
+        while len(out) < max_new_tokens:
+            # emission lower bound per block = `block` tokens; the cache
+            # transient bound above keeps every step's writes in range
+            # only while emitted < max_new, which the loop guarantees
+            carry, toks, counts, cache = self._step(eng.params, carry, cache)
+            self.steps += self.block
+            toks_np = np.asarray(toks)
+            counts_np = np.asarray(counts)
+            for i in range(self.block):
+                out.extend(int(t) for t in toks_np[i, : int(counts_np[i])])
+        return out[:max_new_tokens]

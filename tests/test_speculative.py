@@ -1,0 +1,72 @@
+"""Speculative decoding: the spec stream must EQUAL plain greedy exactly.
+
+Verification replays argmax over the same logits the plain path computes,
+so any divergence is a bug (cache rollback, draft indexing, history)."""
+import numpy as np
+import pytest
+
+from gemma_tpu.gguf import GGMLType, GGUFReader
+from gemma_tpu.models import load_params
+from gemma_tpu.runtime import Engine, EngineConfig
+from gemma_tpu.runtime.speculative import SpecDecoder
+from gemma_tpu.testing import TINY_CONFIG, make_gguf
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    path = tmp_path_factory.mktemp("spec") / "m.gguf"
+    make_gguf(path, TINY_CONFIG, weight_type=GGMLType.F32, seed=11)
+    cfg, params = load_params(GGUFReader(path), mode="dequant")
+    return Engine(cfg, params, EngineConfig(max_seq_len=256, donate_cache=False))
+
+
+PROMPTS = [
+    # repetitive: high draft acceptance
+    [1, 7, 9, 7, 9, 7, 9, 7, 9, 7, 9, 7, 9],
+    # structured repeat with a twist
+    [1, 4, 5, 6, 4, 5, 6, 4, 5, 6, 4, 5],
+    # non-repetitive: zero acceptance path
+    [1, 33, 402, 17, 250, 96, 311, 42],
+    # short prompt
+    [1, 5],
+]
+
+
+@pytest.mark.parametrize("pi", range(len(PROMPTS)), ids=lambda i: f"p{i}")
+@pytest.mark.parametrize("k,block", [(4, 2), (8, 4)])
+def test_spec_equals_greedy(engine, pi, k, block):
+    prompt = PROMPTS[pi]
+    n = 40
+    ref = engine.generate_fused([prompt], max_new_tokens=n)[0].tolist()
+    spec = SpecDecoder(engine, k=k, block=block)
+    got = spec.generate(prompt, n)
+    assert got == ref, (got, ref)
+    assert spec.steps >= 1
+
+
+def test_spec_accepts_on_repetitive_input(engine):
+    """On a cyclic prompt the model need not continue the cycle, but the
+    machinery must emit more tokens than verify forwards when it does;
+    at minimum the bookkeeping (steps * block forwards, exact stream)
+    holds for a long generation."""
+    prompt = [1] + [7, 9, 11] * 8
+    n = 60
+    ref = engine.generate_fused([prompt], max_new_tokens=n)[0].tolist()
+    spec = SpecDecoder(engine, k=6, block=4)
+    got = spec.generate(prompt, n)
+    assert got == ref
+
+
+def test_spec_capacity_guard(engine):
+    spec = SpecDecoder(engine, k=8, block=4)
+    with pytest.raises(ValueError, match="exceeds max_seq_len"):
+        spec.generate(list(range(1, 200)), 60)
+
+
+def test_spec_rejects_paged(engine):
+    paged = Engine(
+        engine.cfg, engine.params,
+        EngineConfig(max_seq_len=128, donate_cache=False, paged=True, page_size=16),
+    )
+    with pytest.raises(ValueError, match="dense"):
+        SpecDecoder(paged)
