@@ -434,7 +434,7 @@ def build_parser() -> argparse.ArgumentParser:
                    "drafts k tokens from the token history and verifies "
                    "them in one forward — exact greedy stream, >1 token "
                    "per weight pass on repetitive continuations")
-    g.add_argument("--spec-k", type=int, default=8,
+    g.add_argument("--spec-k", type=int, default=7,
                    help="draft tokens per speculative verify step")
     g.add_argument("--chat", action="store_true",
                    help="wrap the prompt in the Gemma instruction-tuned "

@@ -275,7 +275,10 @@ def _qmm_call(x2d, xs, arrays, fmt, shape, keys, interpret):
     bytes_accessed = sum(int(arrays[k].size) * arrays[k].dtype.itemsize for k in keys)
     # f32 MXU operands at decode M (skips the bf16 narrow); bf16 at prefill
     # M where the dot dominates (f32 passes would halve prefill rate)
-    kernel = functools.partial(_FMT_KERNELS[fmt], nsteps=nsteps, f32dot=M <= 16)
+    # f32 MXU operands only at the M=8 decode bucket (skipping the bf16
+    # narrow wins there); M=16+ (speculative verify, prefill tails) pays
+    # multiple f32 MXU passes and prefers bf16
+    kernel = functools.partial(_FMT_KERNELS[fmt], nsteps=nsteps, f32dot=M <= 8)
     out = pl.pallas_call(
         kernel,
         grid=grid,

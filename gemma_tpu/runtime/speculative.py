@@ -40,7 +40,10 @@ class SpecDecoder:
     """Owns the jitted speculative block step for one Engine (B=1, greedy,
     dense cache)."""
 
-    def __init__(self, engine, k: int = 8, block: int = 4):
+    def __init__(self, engine, k: int = 7, block: int = 4):
+        # default k=7: the verify forward is then T=8 rows — the SAME M=8
+        # kernel bucket as plain decode, so a fully-rejected verify costs
+        # exactly one decode step (k=8 padded M to 16: measured ~5.7x)
         self.engine = engine
         self.k = int(k)
         self.block = int(block)
@@ -78,9 +81,14 @@ class SpecDecoder:
         toks = jnp.concatenate([t_cur[None], drafts]).astype(jnp.int32)
         length = cache.length  # [1]
         positions = length[:, None] + jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+        # SCALAR write_index (B=1): routes the KV write through the chunk
+        # path (dynamic_update_slice of all k+1 rows). The [B]-vector form
+        # takes write_token, which writes ONLY the first row — draft
+        # positions would then attend stale K/V for their in-chunk
+        # predecessors and mis-verify (and the scatter is slower anyway).
         logits, cache = gemma.forward(
             params, eng.cfg, toks[None, :], positions, cache,
-            write_index=length, kv_limit=length + k + 1,
+            write_index=length[0], kv_limit=length + k + 1,
         )  # [1, k+1, vocab]
         g = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)  # greedy at each pos
         # accept drafts while they reproduce greedy: draft_i == g_{i-1}
@@ -118,15 +126,19 @@ class SpecDecoder:
         `max_new_tokens` tokens (no early EOS exit, like generate_fused)."""
         eng = self.engine
         S = eng.ecfg.max_seq_len
-        # every step transiently writes k+1 rows past the current length,
-        # and the final block can over-emit before the host truncates —
-        # worst case: prompt + max_new + (block+1)*(k+1) rows (a clamped
-        # dynamic_update_slice would silently corrupt earlier rows, so
-        # this is a hard precondition, not a soft budget)
-        if len(prompt) + max_new_tokens + (self.block + 1) * (self.k + 1) > S:
+        # every step transiently writes k+1 rows past the current length;
+        # the host pipelines up to TWO blocks in flight (the drain of one
+        # block's counts overlaps the next block's compute — a per-block
+        # sync through a remote tunnel would otherwise cost more than the
+        # verify forwards) and the in-flight blocks can over-emit before
+        # the host truncates. Worst case: prompt + max_new +
+        # (2*block+1)*(k+1) rows (a clamped dynamic_update_slice would
+        # silently corrupt earlier rows — hard precondition).
+        overshoot = (2 * self.block + 1) * (self.k + 1)
+        if len(prompt) + max_new_tokens + overshoot > S:
             raise ValueError(
                 f"prompt ({len(prompt)}) + max_new_tokens ({max_new_tokens}) "
-                f"+ worst-case draft window ({(self.block + 1) * (self.k + 1)}) "
+                f"+ worst-case draft window ({overshoot}) "
                 f"exceeds max_seq_len {S}"
             )
         logits, cache = eng.prefill([prompt])
@@ -142,14 +154,28 @@ class SpecDecoder:
         )
         out: list[int] = [t0]
         self.steps = 0  # verify forwards issued (for accept-rate reporting)
-        while len(out) < max_new_tokens:
-            # emission lower bound per block = `block` tokens; the cache
-            # transient bound above keeps every step's writes in range
-            # only while emitted < max_new, which the loop guarantees
+        import collections
+
+        pending: collections.deque = collections.deque()
+
+        def issue():
+            nonlocal carry, cache
             carry, toks, counts, cache = self._step(eng.params, carry, cache)
             self.steps += self.block
+            pending.append((toks, counts))
+
+        def drain_one():
+            toks, counts = pending.popleft()
             toks_np = np.asarray(toks)
             counts_np = np.asarray(counts)
             for i in range(self.block):
                 out.extend(int(t) for t in toks_np[i, : int(counts_np[i])])
+
+        while len(out) < max_new_tokens:
+            if len(pending) < 2:
+                issue()  # keep two blocks in flight: drain overlaps compute
+            if len(pending) >= 2:
+                drain_one()
+        while pending:
+            drain_one()
         return out[:max_new_tokens]

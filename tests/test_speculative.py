@@ -57,6 +57,33 @@ def test_spec_accepts_on_repetitive_input(engine):
     assert got == ref
 
 
+def test_spec_acceptance_actually_exercised(engine):
+    """Regression: a vector write_index dropped draft KV rows, so accepted
+    drafts attended garbage — undetectable by tests whose model never
+    accepts. This test FINDS a prompt whose plain-greedy continuation
+    cycles (random tiny models fall into cycles), requires the spec stream
+    to match, AND requires fewer verify forwards than emitted tokens —
+    i.e. acceptance > 0 really happened through the verified-KV path."""
+    n = 48
+    for seed_prompt in ([1, 7], [1, 44, 260], [1, 5, 311], [1, 400, 17], [2, 9]):
+        ref = engine.generate_fused([seed_prompt], max_new_tokens=n)[0].tolist()
+        tail = ref[-16:]
+        cyclic = any(tail.count(t) >= 4 for t in set(tail))
+        if not cyclic:
+            continue
+        spec = SpecDecoder(engine, k=7, block=2)
+        got = spec.generate(seed_prompt, n)
+        assert got == ref, (seed_prompt, got, ref)
+        forwards = spec.steps
+        emitted = len(got)
+        assert emitted > forwards, (
+            f"no draft was ever accepted (forwards={forwards}, "
+            f"emitted={emitted}) — acceptance path not exercised"
+        )
+        return
+    pytest.skip("no cyclic greedy continuation found on this model")
+
+
 def test_spec_capacity_guard(engine):
     spec = SpecDecoder(engine, k=8, block=4)
     with pytest.raises(ValueError, match="exceeds max_seq_len"):
