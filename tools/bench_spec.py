@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--block", type=int, default=4)
     ap.add_argument("--tokens", type=int, default=96)
+    ap.add_argument("--fill", default="zeros", choices=("zeros", "random"),
+                    help="random: a random-weight model whose greedy stream "
+                    "is (mostly) incompressible — measures the ZERO-"
+                    "acceptance floor instead of the full-acceptance ceiling")
     args = ap.parse_args()
 
     import numpy as np
@@ -64,7 +68,7 @@ def main():
 
     cfg = {"gemma2b": GEMMA_2B, "gemma7b": GEMMA_7B, "tiny": TINY_CONFIG}[args.model]
     fmt = "bf16" if args.model == "tiny" else "q4_0"
-    params = jax.device_put(make_params(cfg, fmt=fmt, fill="zeros"))
+    params = jax.device_put(make_params(cfg, fmt=fmt, fill=args.fill))
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[:1])
     eng = Engine(cfg, params, EngineConfig(max_seq_len=512, max_batch=1))
     spec = SpecDecoder(eng, k=args.k, block=args.block)
@@ -98,7 +102,7 @@ def main():
 
     print(json.dumps({
         "metric": f"speculative_decode_{args.model}_q4_0",
-        **results, "k": args.k, "block": args.block,
+        **results, "k": args.k, "block": args.block, "fill": args.fill,
     }))
 
 
