@@ -313,7 +313,7 @@ def quant_matmul(x: jax.Array, qt: QTensor) -> jax.Array:
     bm = MIN_SUBLANE
     while bm < M:
         bm *= 2
-    bm = min(bm, 512)
+    bm = min(bm, int(os.environ.get("GEMMA_TPU_PREFILL_BM", "512")))
     Mp = ((M + bm - 1) // bm) * bm
     if Mp != M:
         x2d = jnp.pad(x2d, ((0, Mp - M), (0, 0)))
