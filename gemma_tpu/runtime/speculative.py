@@ -26,6 +26,7 @@ overwritten by the next step's writes at the new length (attention masks
 """
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 
@@ -154,8 +155,6 @@ class SpecDecoder:
         )
         out: list[int] = [t0]
         self.steps = 0  # verify forwards issued (for accept-rate reporting)
-        import collections
-
         pending: collections.deque = collections.deque()
 
         def issue():

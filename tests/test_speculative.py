@@ -90,6 +90,35 @@ def test_spec_capacity_guard(engine):
         spec.generate(list(range(1, 200)), 60)
 
 
+def test_spec_int8_kv(engine):
+    """Verify forwards write quantized KV through the chunk path; the spec
+    stream must still equal the int8-KV engine's own greedy stream."""
+    eng8 = Engine(
+        engine.cfg, engine.params,
+        EngineConfig(max_seq_len=256, donate_cache=False, kv_quantized=True),
+    )
+    prompt = [1, 7, 9, 7, 9, 7, 9]
+    ref = eng8.generate_fused([prompt], max_new_tokens=24)[0].tolist()
+    got = SpecDecoder(eng8, k=4, block=2).generate(prompt, 24)
+    assert got == ref
+
+
+def test_spec_gemma2_softcaps(tmp_path):
+    """Gemma-2 (sandwich norms + logit softcaps + sliding windows) through
+    the speculative path: argmax goes through the softcap, so a mismatch
+    in the verify forward's math would break stream equality."""
+    from gemma_tpu.testing import TINY_GEMMA2_CONFIG, make_gguf
+
+    path = make_gguf(tmp_path / "g2.gguf", TINY_GEMMA2_CONFIG,
+                     weight_type=GGMLType.F32, seed=5, arch="gemma2")
+    cfg, params = load_params(GGUFReader(path), mode="dequant")
+    eng = Engine(cfg, params, EngineConfig(max_seq_len=256, donate_cache=False))
+    prompt = [1, 5, 11, 5, 11, 5]
+    ref = eng.generate_fused([prompt], max_new_tokens=24)[0].tolist()
+    got = SpecDecoder(eng, k=4, block=2).generate(prompt, 24)
+    assert got == ref
+
+
 def test_spec_rejects_paged(engine):
     paged = Engine(
         engine.cfg, engine.params,
