@@ -104,8 +104,13 @@ def decoder_layer(
 
     if write_index.ndim == 0:
         cache = cache.write_chunk(layer_idx, write_index, k, v)
-    else:
+    elif T == 1:
         cache = cache.write_token(layer_idx, write_index, k, v)
+    else:
+        # per-seq chunk starts (batched speculative verification). Paged
+        # caches have no per-seq chunk write; fail loudly rather than
+        # silently dropping rows (write_token keeps only t=0).
+        cache = cache.write_chunk_per_seq(layer_idx, write_index, k, v)
 
     window = cfg.layer_window(layer_idx)
     if hasattr(cache, "page_table") and paged_decode_supported(cache, T, cfg.n_heads):

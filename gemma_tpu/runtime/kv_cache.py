@@ -134,6 +134,47 @@ class KVCache:
             )
         return dataclasses.replace(self, **changes)
 
+    def write_chunk_per_seq(
+        self, layer: int, starts: jax.Array, k_new: jax.Array, v_new: jax.Array
+    ) -> "KVCache":
+        """Write a [B, T, H, D] chunk at a DIFFERENT offset per sequence
+        (batched speculative verification: every slot's k+1 draft rows land
+        at its own length). Unrolled per-seq dynamic_update_slice — B tiny
+        in-place updates instead of a B*T-row scatter. Starts are clamped
+        in-bounds (callers guarantee ACTIVE slots never need the clamp;
+        inactive serving slots may drift past capacity and their rows are
+        rewritten on re-admission)."""
+        B, T = k_new.shape[0], k_new.shape[1]
+        S = self.max_len
+        starts = jnp.clip(starts, 0, S - T)
+        if self.quantized:
+            qk, sk = self._quantize(k_new)
+            qv, sv = self._quantize(v_new)
+        else:
+            qk, qv = k_new.astype(self.k.dtype), v_new.astype(self.v.dtype)
+            sk = sv = None
+        k, v = self.k, self.v
+        ks, vs = self.k_scale, self.v_scale
+        for b in range(B):  # static unroll; each DUS is [1,1,H,T,D]
+            loc = (layer, b, 0, starts[b], 0)
+            k = jax.lax.dynamic_update_slice(
+                k, qk[b].transpose(1, 0, 2)[None, None], loc
+            )
+            v = jax.lax.dynamic_update_slice(
+                v, qv[b].transpose(1, 0, 2)[None, None], loc
+            )
+            if self.quantized:
+                ks = jax.lax.dynamic_update_slice(
+                    ks, sk[b].T[None, None], (layer, b, 0, starts[b])
+                )
+                vs = jax.lax.dynamic_update_slice(
+                    vs, sv[b].T[None, None], (layer, b, 0, starts[b])
+                )
+        changes = dict(k=k, v=v)
+        if self.quantized:
+            changes.update(k_scale=ks, v_scale=vs)
+        return dataclasses.replace(self, **changes)
+
     def write_token(self, layer: int, index: jax.Array, k_new: jax.Array, v_new: jax.Array) -> "KVCache":
         """Scatter a single token per sequence: k_new [B, 1, H, D] written at
         per-batch position index[b] (decode)."""

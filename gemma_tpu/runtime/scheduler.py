@@ -80,6 +80,8 @@ class Scheduler:
         prefill_engine: Engine | None = None,
         admit_per_tick: int | None = None,
         overlap_admission: bool = True,
+        speculative: bool = False,
+        spec_k: int = 7,
     ):
         """`prefill_engine` (optional) runs admission prefills on a different
         engine than the decode batch — prefill/decode disaggregation: the
@@ -98,7 +100,13 @@ class Scheduler:
         prompts longer than one chunk admit INCREMENTALLY — one prefill
         chunk per decode tick, decode blocks running between chunks — so a
         long admission stalls the running batch by at most one chunk's
-        latency instead of a full-prompt prefill (VERDICT r3 weak #5)."""
+        latency instead of a full-prompt prefill (VERDICT r3 weak #5).
+
+        `speculative` (greedy sampling + dense cache only): every tick
+        drafts `spec_k` tokens per slot from its token history and
+        verifies them in one batched multi-position forward — each slot
+        emits 1..spec_k+1 tokens per tick for one weight-stream pass
+        (runtime/speculative.py), with the exact greedy token streams."""
         self.engine = engine
         self.prefill_engine = prefill_engine or engine
         if prefill_engine is not None:
@@ -136,10 +144,27 @@ class Scheduler:
         self.active: dict[int, Request] = {}  # slot -> request
         self.finished: list[Request] = []
         self.key = jax.random.PRNGKey(seed)
+        self.spec = None
+        if speculative:
+            if not sampling.is_greedy:
+                raise ValueError("speculative scheduling requires greedy sampling")
+            if engine.ecfg.paged:
+                raise ValueError("speculative scheduling requires the dense cache")
+            from .speculative import SpecDecoder
+
+            self.spec = SpecDecoder(engine, k=spec_k, block=1)
+            L = engine.ecfg.max_seq_len + spec_k + 2
+            self._sp_carry = (
+                jnp.zeros(self.max_batch, jnp.int32),
+                jnp.zeros(self.max_batch, jnp.int32),
+                jnp.zeros((self.max_batch, L), jnp.int32),
+                jnp.zeros(self.max_batch, jnp.int32),
+            )
         # per-slot next-token logits, merged into one [B, vocab] batch
         self._logits = jnp.zeros((self.max_batch, engine.cfg.vocab_size), jnp.float32)
         self._steps = 0
         self._tokens_discarded = 0
+        self._spec_forwards = 0
 
     # -- request intake ----------------------------------------------------
     def submit(self, req: Request) -> None:
@@ -202,6 +227,8 @@ class Scheduler:
                 self._logits = self._logits.at[slot].set(pre[0])
                 req.slot = slot
                 self.active[slot] = req
+                if self.spec is not None:
+                    self._seed_spec_slot(slot, req, pre[0])
             admitted += 1
 
     def _prefill_T(self, prompt_len: int) -> int:
@@ -295,8 +322,77 @@ class Scheduler:
         self._logits = self._logits.at[slot].set(pre[0])
         st.req.slot = slot
         self.active[slot] = st.req
+        if self.spec is not None:
+            self._seed_spec_slot(slot, st.req, pre[0])
         self._admit_order.popleft()
         del self._admitting[slot]
+
+    # -- speculative tick --------------------------------------------------
+    def _seed_spec_slot(self, slot: int, req: Request, logits0) -> None:
+        """Seed a freshly admitted slot's speculative state: its history
+        row = prompt + first greedy token; the first token is emitted here
+        (the plain path samples it on the next tick — same stream)."""
+        t0 = int(np.asarray(jnp.argmax(logits0)))
+        tc, tp, hist, hlen = self._sp_carry
+        P = len(req.prompt)
+        row = np.zeros(hist.shape[1], np.int32)
+        row[:P] = req.prompt
+        row[P] = t0
+        self._sp_carry = (
+            tc.at[slot].set(t0),
+            tp.at[slot].set(req.prompt[-1] if req.prompt else 0),
+            hist.at[slot].set(jnp.asarray(row)),
+            hlen.at[slot].set(P + 1),
+        )
+        now = time.monotonic()
+        req.first_token_at = now
+        req.tokens.append(t0)
+        if self.on_token is not None:
+            self.on_token(req, t0)
+        if (req.eos_id is not None and t0 == req.eos_id) or req.max_new_tokens <= 1:
+            self._finish(slot, req, now)
+
+    def _spec_full_limit(self) -> int:
+        # active slots must always have k+1 rows of write headroom (the
+        # per-seq chunk write clamps rather than overflows, and a clamp on
+        # an ACTIVE slot would corrupt its valid rows)
+        return self.engine.ecfg.max_seq_len - (self.spec.k + 1)
+
+    def step_spec(self) -> list[tuple[str, int]]:
+        """One batched speculative tick: every active slot drafts spec_k
+        tokens, verifies them in one shared forward, and emits its accepted
+        prefix + correction (1..k+1 tokens) — exact greedy streams."""
+        self._advance_admissions()
+        self._admit()
+        if not self.active:
+            return []
+        tc, tp, hist, hlen = self._sp_carry
+        tc, tp, hist, hlen, g, n_emit, self.cache = self.spec._batch_step(
+            self.engine.params, tc, tp, hist, hlen, self.cache
+        )
+        self._sp_carry = (tc, tp, hist, hlen)
+        g_np = np.asarray(g)
+        n_np = np.asarray(n_emit)
+        now = time.monotonic()
+        emitted: list[tuple[str, int]] = []
+        self._steps += 1
+        self._spec_forwards += 1
+        full_limit = self._spec_full_limit()
+        for slot, req in list(self.active.items()):
+            c = int(n_np[slot])
+            for j in range(c):
+                t = int(g_np[slot, j])
+                req.tokens.append(t)
+                emitted.append((req.id, t))
+                if self.on_token is not None:
+                    self.on_token(req, t)
+                hit_eos = req.eos_id is not None and t == req.eos_id
+                full = len(req.prompt) + len(req.tokens) >= full_limit
+                if hit_eos or full or len(req.tokens) >= req.max_new_tokens:
+                    self._finish(slot, req, now)
+                    self._tokens_discarded += c - 1 - j
+                    break
+        return emitted
 
     # -- one decode tick ---------------------------------------------------
     def step(self) -> list[tuple[str, int]]:
@@ -394,7 +490,10 @@ class Scheduler:
         while (self.pending or self.active or self._admitting) and (
             max_steps is None or steps < max_steps
         ):
-            if block > 1:
+            if self.spec is not None:
+                self.step_spec()
+                steps += 1
+            elif block > 1:
                 self.step_block(block)
                 steps += block
             else:
@@ -406,7 +505,7 @@ class Scheduler:
     def stats(self) -> dict:
         ttfts = sorted(r.ttft for r in self.finished if r.ttft is not None)
         total_toks = sum(len(r.tokens) for r in self.finished)
-        return {
+        out = {
             "requests": len(self.finished),
             "decode_steps": self._steps,
             "tokens_discarded": self._tokens_discarded,
@@ -414,3 +513,6 @@ class Scheduler:
             "p50_ttft_s": ttfts[len(ttfts) // 2] if ttfts else None,
             "p99_ttft_s": ttfts[min(len(ttfts) - 1, int(len(ttfts) * 0.99))] if ttfts else None,
         }
+        if self.spec is not None:
+            out["spec_forwards"] = self._spec_forwards
+        return out

@@ -120,6 +120,51 @@ class SpecDecoder:
             cache,
         )
 
+    # -- batched step (continuous-batching scheduler) ----------------------
+    # Every decode slot drafts/verifies simultaneously; per-seq lengths
+    # diverge naturally (cache.length is already per-seq) and the verify
+    # forward writes each slot's k+1 rows at its OWN length via
+    # KVCache.write_chunk_per_seq (vector write_index + T>1 routing in
+    # models/gemma.py).
+
+    @functools.cached_property
+    def _batch_step(self):
+        return jax.jit(
+            self._batch_step_impl,
+            donate_argnums=(5,) if self.engine.ecfg.donate_cache else (),
+        )
+
+    def _batch_step_impl(self, params, t_cur, t_prev, hist, hist_len, cache):
+        """t_cur/t_prev [B], hist [B, L], hist_len [B]. Returns
+        (t_cur', t_prev', hist', hist_len', emitted [B, k+1], n_emit [B],
+        cache)."""
+        eng = self.engine
+        k = self.k
+        B = t_cur.shape[0]
+        drafts = jax.vmap(self._draft)(hist, hist_len, t_prev, t_cur)  # [B, k]
+        toks = jnp.concatenate([t_cur[:, None], drafts], axis=1).astype(jnp.int32)
+        lengths = cache.length  # [B]
+        positions = lengths[:, None] + jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+        logits, cache = gemma.forward(
+            params, eng.cfg, toks, positions, cache,
+            write_index=lengths, kv_limit=lengths + k + 1,
+        )  # [B, k+1, vocab]
+        g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, k+1]
+        acc = jnp.cumprod((drafts == g[:, :k]).astype(jnp.int32), axis=1)
+        a = jnp.sum(acc, axis=1)  # [B]
+        n_emit = a + 1
+        cache = dataclasses.replace(cache, length=lengths + n_emit)
+        hist = jax.vmap(
+            lambda h, e, s: jax.lax.dynamic_update_slice(h, e, (s,))
+        )(hist, g, hist_len)
+        hist_len = hist_len + n_emit
+        t_cur2 = jnp.take_along_axis(g, a[:, None], axis=1)[:, 0]
+        prev_idx = jnp.maximum(a - 1, 0)[:, None]
+        t_prev2 = jnp.where(
+            a > 0, jnp.take_along_axis(g, prev_idx, axis=1)[:, 0], t_cur
+        )
+        return t_cur2, t_prev2, hist, hist_len, g, n_emit, cache
+
     # -- host driver -------------------------------------------------------
     def generate(self, prompt: list[int], max_new_tokens: int) -> list[int]:
         """Greedy generation, token-equal to Engine.generate_fused's greedy

@@ -119,6 +119,53 @@ def test_spec_gemma2_softcaps(tmp_path):
     assert got == ref
 
 
+def test_spec_scheduler_equals_plain(engine):
+    """Batched speculative continuous batching: every request's stream
+    must equal the plain greedy scheduler's, across slot reuse, staggered
+    finishes, and more requests than slots."""
+    from gemma_tpu.runtime.scheduler import Request, Scheduler
+
+    prompts = {
+        "a": [1, 7, 9, 7, 9, 7],
+        "b": [1, 44, 260, 9, 77],
+        "c": [1, 5, 311, 42],
+        "d": [1, 33],
+        "e": [1, 400, 17, 9, 8, 260],
+    }
+
+    def run(spec):
+        s = Scheduler(engine, speculative=spec)
+        for rid, p in prompts.items():
+            s.submit(Request(rid, p, max_new_tokens=8 + (len(p) % 3)))
+        s.run()
+        return {r.id: r.tokens for r in s.finished}
+
+    got, ref = run(True), run(False)
+    assert got == ref
+
+
+def test_spec_scheduler_eos(engine):
+    from gemma_tpu.runtime.scheduler import Request, Scheduler
+
+    prompt = [1, 7, 300]
+    first = engine.generate_fused([prompt], max_new_tokens=1)[0].tolist()[0]
+    s = Scheduler(engine, speculative=True)
+    s.submit(Request("a", prompt, max_new_tokens=10, eos_id=first))
+    s.run()
+    assert s.finished[0].tokens == [first]
+
+
+def test_spec_scheduler_stats_report_forwards(engine):
+    from gemma_tpu.runtime.scheduler import Request, Scheduler
+
+    s = Scheduler(engine, speculative=True)
+    s.submit(Request("a", [1, 7, 9, 7, 9], max_new_tokens=12))
+    s.run()
+    st = s.stats()
+    assert st["spec_forwards"] >= 1
+    assert st["total_tokens"] == 12
+
+
 def test_spec_rejects_paged(engine):
     paged = Engine(
         engine.cfg, engine.params,
