@@ -41,9 +41,10 @@ def _add_engine_flags(p: argparse.ArgumentParser) -> None:
                    help="int8-quantize the KV-cache")
     p.add_argument("--paged", action="store_true",
                    help="use the paged KV-cache (block tables)")
-    p.add_argument("--page-size", type=int, default=64,
-                   help="paged KV page length (TPU favors big pages: each "
-                   "kernel grid step DMAs one page)")
+    p.add_argument("--page-size", type=int, default=None,
+                   help="paged KV page length (default: geometry-aware — 64, "
+                   "or 256 for MQA long-context; each kernel grid step DMAs "
+                   "one page)")
     p.add_argument("--profile", action="store_true",
                    help="print the op-span/roofline report at exit "
                    "(reference: print_profiling_result, app.cpp:42)")

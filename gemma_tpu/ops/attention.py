@@ -271,7 +271,7 @@ def flash_attention(
 # ---------------------------------------------------------------------------
 
 def _decode_kernel(
-    lim_ref,  # SMEM [B, 1]
+    lim_ref,  # scalar-prefetch: i32 [B]
     q_ref,  # [1, Hkv, G, D]
     k_ref,  # [1, Hkv, bs, D] (bf16, or int8 when quantized)
     v_ref,  # [1, Hkv, bs, D]
@@ -299,7 +299,7 @@ def _decode_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    limit = lim_ref[pl.program_id(0), 0]
+    limit = lim_ref[pl.program_id(0)]
     s_start = s_idx * block_s
     tile_live = s_start < limit
     if window > 0:  # tile entirely older than the query's window?
@@ -369,35 +369,59 @@ def _decode_call(
         _decode_kernel, n_s_tiles=n_s, block_s=block_s,
         window=window, attn_softcap=attn_softcap, quantized=quantized,
     )
+
+    def tile_map(b, sk, lim_ref):
+        # Dead-tile DMA elision (same trick as paged_attention.page_map):
+        # tiles past the live prefix — and, with a window, before the
+        # window start — re-request the nearest LIVE tile; consecutive
+        # identical block indices elide the DMA and pl.when skips the
+        # compute. Without this, a 4096-slot cache holding a 2048-token
+        # prefix streamed the dead half every step (7B dense bf16 measured
+        # 83.7 -> 60.2 tok/s when the allocation doubled; the reference
+        # avoids it with live-window bookkeeping, gemma_model.cpp:428-436).
+        limit = lim_ref[b]
+        last = jnp.maximum((limit + block_s - 1) // block_s, 1) - 1
+        first = jnp.maximum(limit - window, 0) // block_s if window > 0 else 0
+        idx = jnp.clip(sk, first, last)
+        return (b, 0, idx, 0)
+
+    def tile_map3(b, sk, lim_ref):
+        limit = lim_ref[b]
+        last = jnp.maximum((limit + block_s - 1) // block_s, 1) - 1
+        first = jnp.maximum(limit - window, 0) // block_s if window > 0 else 0
+        idx = jnp.clip(sk, first, last)
+        return (b, 0, idx)
+
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, Hkv, G, D), lambda b, sk: (b, 0, 0, 0)),
-        pl.BlockSpec((1, Hkv, block_s, D), lambda b, sk: (b, 0, sk, 0)),
-        pl.BlockSpec((1, Hkv, block_s, D), lambda b, sk: (b, 0, sk, 0)),
+        pl.BlockSpec((1, Hkv, G, D), lambda b, sk, *_: (b, 0, 0, 0)),
+        pl.BlockSpec((1, Hkv, block_s, D), tile_map),
+        pl.BlockSpec((1, Hkv, block_s, D), tile_map),
     ]
-    inputs = [kv_limit.reshape(B, 1), q_bhgd, k, v]
+    inputs = [q_bhgd, k, v]
     if quantized:
-        in_specs += [
-            pl.BlockSpec((1, Hkv, block_s), lambda b, sk: (b, 0, sk))
-        ] * 2
+        in_specs += [pl.BlockSpec((1, Hkv, block_s), tile_map3)] * 2
         inputs += [k_scale, v_scale]
-    out = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B, n_s),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, Hkv, G, D), lambda b, sk: (b, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), jnp.float32),
+        out_specs=pl.BlockSpec((1, Hkv, G, D), lambda b, sk, *_: (b, 0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((Hkv * G, NUM_LANES), jnp.float32),
             pltpu.VMEM((Hkv * G, NUM_LANES), jnp.float32),
             pltpu.VMEM((Hkv * G, D), jnp.float32),
         ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(*inputs)
+    )(kv_limit, *inputs)
     return out
 
 

@@ -14,8 +14,10 @@ SURVEY.md §2). Layout rules for a TPU pod slice:
 * optional prefill/decode disaggregation: hosts can be role-tagged so
   prefill (compute-bound, bursty) runs on dedicated hosts whose outputs
   are inserted into decode hosts' caches via `Engine.prefill_standalone`
-  + `insert_sequence` (the KV chunk transfer is one device-to-device copy
-  over DCN).
+  + `insert_sequence`. The cross-process KV chunk transfer is
+  `runtime.kv_transfer`: the insert tuple crosses the host boundary as a
+  byte-exact serialized frame (prefill_server / RemotePrefillClient;
+  `serve(roles=..., transport=...)` wires both ends).
 
 Single-host fallback: everything degrades to the plain (data, model) mesh
 — the harness in tools/bench_scaling.py measures scaling on a virtual CPU

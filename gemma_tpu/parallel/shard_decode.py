@@ -24,7 +24,11 @@ Sharding plan (axis sizes tp = mesh["model"], dp = mesh["data"]):
                                in; logits all-gather out
   norms                        replicated
   KV cache                     batch over "data"; heads over "model" when
-                               divisible, else replicated
+                               divisible, else replicated. Dense bf16 or
+                               int8-quantized (per-(pos, head) scales are
+                               head-local, so each shard quantizes its own
+                               heads); the paged pool shards over heads
+                               too but requires dp=1 (one global pool)
 """
 from __future__ import annotations
 
@@ -223,12 +227,30 @@ def _param_specs(params: Params, cfg: GemmaConfig, mesh: Mesh):
 
 
 def cache_specs(cfg: GemmaConfig, mesh: Mesh, batch: int, cache) -> Any:
-    """KVCache pytree specs: batch over data, head-slots over model (the
-    cache is created with cache_heads() slots: one local block per shard)."""
+    """KV-cache pytree specs: batch over data, head-slots over model (the
+    cache is created with cache_heads() slots: one local block per shard).
+    Works for both the dense KVCache and the PagedKVCache pool; int8 scale
+    arrays shard with their pages/rows (each shard quantizes its own heads
+    at write time, so scales are naturally shard-local)."""
     tp = mesh.shape[MODEL_AXIS]
     dp = mesh.shape[DATA_AXIS]
     h = MODEL_AXIS if tp > 1 else None
     b = DATA_AXIS if batch % dp == 0 and dp > 1 else None
+    if hasattr(cache, "page_table"):
+        # the page pool is one global resource indexed by every sequence's
+        # block table — it shards over heads (model) but CANNOT shard over
+        # data: a dp-replicated pool written by different data shards would
+        # silently diverge. TPEngine enforces dp == 1 for paged mode.
+        if dp > 1:
+            raise ValueError("paged TP caches require a data axis of 1")
+        kv = P(None, None, h, None, None)  # [L, P, H, ps, D]
+        sc = P(None, None, h, None)  # [L, P, H, ps]
+        return dataclasses.replace(
+            cache,
+            k_pages=kv, v_pages=kv, page_table=P(None), length=P(None),
+            k_scale=None if cache.k_scale is None else sc,
+            v_scale=None if cache.v_scale is None else sc,
+        )
     kv = P(None, b, h, None, None)  # [L, B, H, S, D]
     sc = P(None, b, h, None)  # [L, B, H, S]
     return dataclasses.replace(
@@ -248,7 +270,9 @@ class TPEngine:
 
     def __init__(self, cfg: GemmaConfig, params: Params, mesh: Mesh,
                  max_seq_len: int = 512, max_batch: int = 1,
-                 donate_cache: bool = True):
+                 donate_cache: bool = True, kv_quantized: bool = False,
+                 paged: bool = False, page_size: int | None = None,
+                 n_pages: int | None = None):
         shard_map = _shard_map()
 
         self.cfg = cfg
@@ -257,10 +281,21 @@ class TPEngine:
         self.lcfg = local_config(cfg, self.tp)
         self.max_seq_len = max_seq_len
         self.max_batch = max_batch
-        from ..runtime.engine import EngineConfig
+        from ..runtime.engine import Engine, EngineConfig
 
+        if paged and mesh.shape[DATA_AXIS] > 1:
+            raise ValueError(
+                "paged TP serving requires a data axis of 1 (the page pool "
+                "is a single global resource; see cache_specs)"
+            )
         self.ecfg = EngineConfig(max_seq_len=max_seq_len, max_batch=max_batch,
-                                 donate_cache=donate_cache, paged=False)
+                                 donate_cache=donate_cache, paged=paged,
+                                 page_size=page_size, n_pages=n_pages,
+                                 kv_quantized=kv_quantized)
+        if self.ecfg.page_size is None:
+            self.ecfg = dataclasses.replace(
+                self.ecfg, page_size=Engine._auto_page_size(cfg, self.ecfg)
+            )
         self.params = build_tp_params(params, cfg, mesh)
         pspecs = _param_specs(self.params, cfg, mesh)
 
@@ -315,8 +350,10 @@ class TPEngine:
         )
         # batch-REPLICATED prefill for standalone (batch-1) admission
         # prefills: TP still splits the compute; the batch axis stays whole
-        # so any B works regardless of the data-axis size
-        cache1 = self.new_cache(1)
+        # so any B works regardless of the data-axis size. Always a DENSE
+        # cache (paged engines too — the insert tuple is dense; the paged
+        # insert reshapes it into whole pages, as in Engine)
+        cache1 = self._dense_cache(1)
         cspec1 = cache_specs(cfg, mesh, 1, cache1)
         self._cache_spec1 = cspec1
         del cache1
@@ -377,13 +414,35 @@ class TPEngine:
             donate_argnums=(3,) if donate_cache else (),
         )
 
-    def new_cache(self, batch: int | None = None, **_ignored):
-        from ..runtime.kv_cache import KVCache
-
-        ccfg = dataclasses.replace(
+    def _cache_cfg(self) -> GemmaConfig:
+        return dataclasses.replace(
             self.cfg, n_kv_heads=cache_heads(self.cfg, self.tp)
         )
-        return KVCache.create(ccfg, batch or self.max_batch, self.max_seq_len)
+
+    def _dense_cache(self, batch: int, seq_len: int | None = None):
+        from ..runtime.kv_cache import KVCache
+
+        return KVCache.create(
+            self._cache_cfg(), batch, seq_len or self.max_seq_len,
+            quantized=self.ecfg.kv_quantized,
+        )
+
+    def new_cache(self, batch: int | None = None, *, identity_pages: bool = True):
+        batch = batch or self.max_batch
+        if self.ecfg.paged:
+            from ..runtime.paged_kv import PagedKVCache
+
+            n_pages = self.ecfg.n_pages or (
+                batch * self.ecfg.max_seq_len // self.ecfg.page_size + 1
+            )
+            return PagedKVCache.create(
+                self._cache_cfg(), batch, n_pages,
+                page_size=self.ecfg.page_size,
+                max_seq_len=self.ecfg.max_seq_len,
+                quantized=self.ecfg.kv_quantized,
+                identity_layout=identity_pages,
+            )
+        return self._dense_cache(batch)
 
     def place_cache(self, cache):
         """Device-place a cache per the shard_map specs."""
@@ -414,17 +473,15 @@ class TPEngine:
         throwaway bucket-sized cache; returns the Engine-compatible
         (logits, k_seq, v_seq, scales, length) insertion tuple. `pad_to`
         rounds T up to the decode-side page size (Engine API parity)."""
-        from ..runtime.kv_cache import KVCache
-
         T = 16
         while T < len(prompt):
             T *= 2
+        if self.ecfg.paged:
+            ps = self.ecfg.page_size
+            T = -(-T // ps) * ps
         if pad_to:
             T = -(-T // pad_to) * pad_to
-        ccfg = dataclasses.replace(
-            self.cfg, n_kv_heads=cache_heads(self.cfg, self.tp)
-        )
-        tmp = KVCache.create(ccfg, 1, T)
+        tmp = self._dense_cache(1, T)
         tmp = jax.tree_util.tree_map(
             lambda a, s: jax.device_put(a, NamedSharding(self.mesh, s)),
             tmp, self._cache_spec1,
@@ -434,32 +491,55 @@ class TPEngine:
         logits, tmp = self._prefill_rep(
             self.params, jnp.asarray(toks), jnp.asarray([len(prompt)], np.int32), tmp
         )
-        return logits[0], tmp.k[:, 0], tmp.v[:, 0], (None, None), len(prompt)
+        scales = (
+            (tmp.k_scale[:, 0], tmp.v_scale[:, 0]) if tmp.quantized else (None, None)
+        )
+        return logits[0], tmp.k[:, 0], tmp.v[:, 0], scales, len(prompt)
 
     @functools.cached_property
     def _insert(self):
-        def fn(cache, slot, k_seq, v_seq, length):
-            return cache.insert_sequence(slot, k_seq, v_seq, length)
+        def fn(cache, slot, k_seq, v_seq, length, k_sc, v_sc):
+            return cache.insert_sequence(slot, k_seq, v_seq, length, k_sc, v_sc)
+
+        return jax.jit(fn, donate_argnums=(0,))
+
+    @functools.cached_property
+    def _insert_paged(self):
+        def fn(cache, slot, pages, n_used, k_seq, v_seq, length, k_sc, v_sc):
+            return cache.insert_sequence(
+                slot, pages, n_used, k_seq, v_seq, length, k_sc, v_sc
+            )
 
         return jax.jit(fn, donate_argnums=(0,))
 
     def insert_sequence(self, cache, slot: int, prefill_out, pages=None):
         """Insert a prefill_standalone result into batch row `slot` of the
         sharded serving cache (GSPMD propagates the cache sharding through
-        the dynamic_update_slice)."""
-        assert pages is None, "TPEngine serves dense caches"
-        logits, k_seq, v_seq, _scales, length = prefill_out
+        the dynamic_update_slice / page scatter)."""
+        logits, k_seq, v_seq, (k_sc, v_sc), length = prefill_out
+        if pages is not None:
+            maxp = cache.page_table.shape[1]
+            pages_arr = np.zeros(maxp, np.int32)
+            pages_arr[: len(pages)] = pages
+            return self._insert_paged(
+                cache, jnp.asarray(slot, jnp.int32), jnp.asarray(pages_arr),
+                jnp.asarray(len(pages), jnp.int32), k_seq, v_seq,
+                jnp.asarray(length, jnp.int32), k_sc, v_sc,
+            )
         S = cache.max_len
         T = k_seq.shape[2]
         if T < S:
             pad = [(0, 0), (0, 0), (0, S - T), (0, 0)]
             k_seq = jnp.pad(k_seq, pad)
             v_seq = jnp.pad(v_seq, pad)
+            if k_sc is not None:
+                k_sc = jnp.pad(k_sc, pad[:3])
+                v_sc = jnp.pad(v_sc, pad[:3])
         elif T > S:
             raise ValueError(f"prefill bucket {T} exceeds cache capacity {S}")
         return self._insert(
             cache, jnp.asarray(slot, jnp.int32), k_seq, v_seq,
-            jnp.asarray(length, jnp.int32),
+            jnp.asarray(length, jnp.int32), k_sc, v_sc,
         )
 
     def generate_greedy(self, prompts: list[list[int]], max_new_tokens: int):

@@ -64,9 +64,14 @@ class EngineConfig:
     # step of the paged kernel DMAs one (Hkv, page, D) slab — since the
     # round-4 all-heads-per-block kernels, ps=64 measures >= dense at
     # 7B/4K (65.5 vs 60.2 tok/s bf16; 81.7 vs 81.4 int8 — BENCHMARKS.md),
-    # so the 64-token allocation granularity is free
+    # so the 64-token allocation granularity is free for MHA/GQA.
+    # page_size=None -> geometry-aware default, resolved by Engine.__init__:
+    # 64 when the model has KV heads to fatten the per-page DMA, 256 for
+    # MQA long-context (Hkv=1, max_seq_len >= 2048), where ps=64 has no
+    # head dimension to amortize the per-grid-step cost (2B@8K measured
+    # 0.84x dense at ps=64 vs 0.92x at ps=256 — BENCHMARKS.md)
     paged: bool = False
-    page_size: int = 64
+    page_size: int | None = None
     n_pages: int | None = None  # default: max_batch * max_seq_len / page_size
     # chunked prefill: prompts longer than this are prefilled in fixed
     # `prefill_chunk`-token pieces (one compiled shape regardless of prompt
@@ -82,6 +87,10 @@ class Engine:
         self.cfg = cfg
         self.params = params
         self.ecfg = engine_cfg or EngineConfig()
+        if self.ecfg.page_size is None:
+            self.ecfg = dataclasses.replace(
+                self.ecfg, page_size=self._auto_page_size(cfg, self.ecfg)
+            )
 
         donate = self.ecfg.donate_cache
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(3,) if donate else ())
@@ -101,6 +110,19 @@ class Engine:
         self._prefill_chunk = jax.jit(
             self._prefill_chunk_impl, donate_argnums=(4,) if donate else ()
         )
+
+    @staticmethod
+    def _auto_page_size(cfg: GemmaConfig, ecfg: EngineConfig) -> int:
+        """Geometry-aware page size (EngineConfig.page_size=None): the paged
+        kernel DMAs one (Hkv, ps, D) slab per grid step, so MHA/GQA models
+        amortize the fixed per-step cost across heads and 64-token pages are
+        free (7B/4K ps=64 >= dense, BENCHMARKS.md). MQA (Hkv=1) has no head
+        dimension to fatten the DMA, so long contexts want bigger pages
+        (2B@8K: ps=64 = 0.84x dense, ps=256 = 0.92x). Short contexts keep 64
+        for allocation granularity (the gap is noise at 512 ctx)."""
+        if cfg.n_kv_heads == 1 and ecfg.max_seq_len >= 2048 and ecfg.max_seq_len % 256 == 0:
+            return 256
+        return 64
 
     @functools.cached_property
     def _weight_stats(self) -> tuple[int, int]:

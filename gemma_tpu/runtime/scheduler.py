@@ -82,6 +82,7 @@ class Scheduler:
         overlap_admission: bool = True,
         speculative: bool = False,
         spec_k: int = 7,
+        spec_pipeline: int = 2,
     ):
         """`prefill_engine` (optional) runs admission prefills on a different
         engine than the decode batch — prefill/decode disaggregation: the
@@ -106,7 +107,14 @@ class Scheduler:
         drafts `spec_k` tokens per slot from its token history and
         verifies them in one batched multi-position forward — each slot
         emits 1..spec_k+1 tokens per tick for one weight-stream pass
-        (runtime/speculative.py), with the exact greedy token streams."""
+        (runtime/speculative.py), with the exact greedy token streams.
+
+        `spec_pipeline`: speculative ticks kept in flight before the host
+        drains one — the drain's device sync then overlaps the next tick's
+        compute (the standalone driver's double-buffering, speculative.py
+        generate). Finish decisions lag by the pipeline depth, so finished
+        slots may decode a few discarded ticks (same trade as step_block);
+        the emitted streams are unchanged. 1 = synchronous ticks."""
         self.engine = engine
         self.prefill_engine = prefill_engine or engine
         if prefill_engine is not None:
@@ -153,6 +161,8 @@ class Scheduler:
             from .speculative import SpecDecoder
 
             self.spec = SpecDecoder(engine, k=spec_k, block=1)
+            self._spec_depth = max(1, int(spec_pipeline))
+            self._spec_pending: collections.deque = collections.deque()
             L = engine.ecfg.max_seq_len + spec_k + 2
             self._sp_carry = (
                 jnp.zeros(self.max_batch, jnp.int32),
@@ -353,33 +363,45 @@ class Scheduler:
             self._finish(slot, req, now)
 
     def _spec_full_limit(self) -> int:
-        # active slots must always have k+1 rows of write headroom (the
-        # per-seq chunk write clamps rather than overflows, and a clamp on
-        # an ACTIVE slot would corrupt its valid rows)
-        return self.engine.ecfg.max_seq_len - (self.spec.k + 1)
+        # active slots must always have write headroom: every in-flight tick
+        # writes k+1 rows past the slot's length, and with a `_spec_depth`
+        # pipeline up to depth ticks land before the host can stop the slot
+        # (the per-seq chunk write clamps rather than overflows, and a clamp
+        # on an ACTIVE slot would corrupt its valid rows)
+        return self.engine.ecfg.max_seq_len - (self._spec_depth + 1) * (self.spec.k + 1)
 
-    def step_spec(self) -> list[tuple[str, int]]:
-        """One batched speculative tick: every active slot drafts spec_k
-        tokens, verifies them in one shared forward, and emits its accepted
-        prefix + correction (1..k+1 tokens) — exact greedy streams."""
+    def _spec_issue(self) -> bool:
+        """Admit, then dispatch one batched speculative tick WITHOUT a host
+        sync; its (emitted, counts) device handles queue in _spec_pending
+        with a snapshot of which request occupied each slot at issue time."""
         self._advance_admissions()
         self._admit()
         if not self.active:
-            return []
+            return False
         tc, tp, hist, hlen = self._sp_carry
         tc, tp, hist, hlen, g, n_emit, self.cache = self.spec._batch_step(
             self.engine.params, tc, tp, hist, hlen, self.cache
         )
         self._sp_carry = (tc, tp, hist, hlen)
+        self._steps += 1
+        self._spec_forwards += 1
+        self._spec_pending.append((g, n_emit, list(self.active.items())))
+        return True
+
+    def _spec_drain(self) -> list[tuple[str, int]]:
+        """Sync the oldest in-flight tick and emit its tokens. Requests that
+        finished in an earlier drain (pipeline lag) discard their rows."""
+        g, n_emit, snapshot = self._spec_pending.popleft()
         g_np = np.asarray(g)
         n_np = np.asarray(n_emit)
         now = time.monotonic()
         emitted: list[tuple[str, int]] = []
-        self._steps += 1
-        self._spec_forwards += 1
         full_limit = self._spec_full_limit()
-        for slot, req in list(self.active.items()):
+        for slot, req in snapshot:
             c = int(n_np[slot])
+            if req.done:
+                self._tokens_discarded += c
+                continue
             for j in range(c):
                 t = int(g_np[slot, j])
                 req.tokens.append(t)
@@ -393,6 +415,15 @@ class Scheduler:
                     self._tokens_discarded += c - 1 - j
                     break
         return emitted
+
+    def step_spec(self) -> list[tuple[str, int]]:
+        """One SYNCHRONOUS batched speculative tick: every active slot
+        drafts spec_k tokens, verifies them in one shared forward, and emits
+        its accepted prefix + correction (1..k+1 tokens) — exact greedy
+        streams. (Scheduler.run pipelines `_spec_depth` ticks instead.)"""
+        if not self._spec_issue():
+            return []
+        return self._spec_drain()
 
     # -- one decode tick ---------------------------------------------------
     def step(self) -> list[tuple[str, int]]:
@@ -487,13 +518,33 @@ class Scheduler:
         `max_steps` bounds device decode steps (a block tick counts as
         `block` steps), so the work cap is block-size independent."""
         steps = 0
+        if self.spec is not None:
+            # pipelined speculative loop: keep `_spec_depth` ticks in
+            # flight; each drain's host sync overlaps the next tick's
+            # verify forward (the standalone driver's double-buffering,
+            # speculative.py generate — a per-tick sync pays the full
+            # host<->device round-trip otherwise)
+            while (self.pending or self.active or self._admitting) and (
+                max_steps is None or steps < max_steps
+            ):
+                issued = False
+                if len(self._spec_pending) < self._spec_depth:
+                    issued = self._spec_issue()
+                    if issued:
+                        steps += 1
+                if self._spec_pending and (
+                    not issued or len(self._spec_pending) >= self._spec_depth
+                ):
+                    self._spec_drain()
+                elif not issued:
+                    break  # nothing issuable or pending: avoid spinning
+            while self._spec_pending:
+                self._spec_drain()
+            return self.finished
         while (self.pending or self.active or self._admitting) and (
             max_steps is None or steps < max_steps
         ):
-            if self.spec is not None:
-                self.step_spec()
-                steps += 1
-            elif block > 1:
+            if block > 1:
                 self.step_block(block)
                 steps += block
             else:

@@ -37,6 +37,7 @@ def serve(
     seed: int = 0,
     roles=None,
     prefill_engine=None,
+    transport=None,
     route_across_hosts: bool = True,
     on_token=None,
 ) -> Scheduler:
@@ -48,8 +49,14 @@ def serve(
     roles: multihost.HostRoles for prefill/decode disaggregation; None =
         every host does both.
     prefill_engine: engine used for admission prefills (defaults to
-        `engine`; with disaggregated roles, the prefill-role host passes its
-        own engine here).
+        `engine`; with disaggregated roles in ONE process, pass the prefill
+        engine here).
+    transport: cross-PROCESS disaggregation address ((host, port) TCP or an
+        AF_UNIX path — runtime.kv_transfer). A prefill-role process serves
+        prefill requests at this address until its decode peer disconnects;
+        a decode-role process fetches admission prefills from it (each KV
+        chunk crosses the process boundary via the byte-exact serialized
+        tuple).
     """
     reqs = list(requests)
     if route_across_hosts and jax.process_count() > 1:
@@ -57,14 +64,30 @@ def serve(
 
         reqs = local_requests(reqs)
     if roles is not None and not roles.is_decode():
-        # pure prefill host: no decode loop to run here; admission prefills
-        # execute inside the decode hosts' schedulers via prefill_engine
+        if transport is not None:
+            # pure prefill host WITH a transport: serve prefill requests
+            # over the wire until the decode peer disconnects
+            from .kv_transfer import serve_prefill_host
+
+            serve_prefill_host(engine, transport)
+        # without a transport the prefill engine must live in the decode
+        # process (passed there as prefill_engine=); nothing to run here
         return Scheduler(engine, sampling=sampling, seed=seed)
-    sched = Scheduler(
-        engine, sampling=sampling, seed=seed, on_token=on_token,
-        prefill_engine=prefill_engine,
-    )
-    for r in reqs:
-        sched.submit(r)
-    sched.run(max_steps=max_steps, block=block)
+    owned_client = None
+    if prefill_engine is None and transport is not None:
+        from .kv_transfer import RemotePrefillClient
+
+        prefill_engine = owned_client = RemotePrefillClient(transport)
+    try:
+        sched = Scheduler(
+            engine, sampling=sampling, seed=seed, on_token=on_token,
+            prefill_engine=prefill_engine,
+        )
+        for r in reqs:
+            sched.submit(r)
+        sched.run(max_steps=max_steps, block=block)
+    finally:
+        if owned_client is not None:
+            # disconnect releases the prefill host's serve loop
+            owned_client.close()
     return sched

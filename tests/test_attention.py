@@ -77,6 +77,12 @@ DECODE_CASES = [
     (1, 256, 8, 2, 128, [256], 30.0, 0),     # GQA + softcap
     (1, 512, 8, 1, 256, [300], 0.0, 64),     # sliding window
     (1, 512, 8, 1, 256, [1], 0.0, 0),        # single valid key
+    # mostly-dead caches: the index_map redirects dead S-tiles to the last
+    # live tile (DMA elision) — correctness of the redirect under multi-tile
+    # dead spans, incl. a window whose live span starts mid-cache
+    (1, 2048, 16, 16, 128, [300], 0.0, 0),   # MHA, 1 live tile of many
+    (2, 2048, 8, 1, 256, [1100, 64], 0.0, 0),
+    (1, 2048, 8, 1, 256, [1500], 0.0, 256),  # dead tiles both sides of window
 ]
 
 

@@ -52,3 +52,99 @@ def test_scaling_efficiency_math():
     assert eff[1] == 1.0
     assert eff[2] == pytest.approx(0.95)
     assert eff[4] == pytest.approx(0.85)
+
+
+# ---------------------------------------------------------------------------
+# Analytic per-decode-step traffic audit (VERDICT r4 #9): from the ACTUAL
+# compiled TP decode program, every collective must ride the model axis
+# (ICI within a host) — zero bytes cross the data axis (DCN) per decode
+# step. This turns the >=85 % multi-host scaling argument from prose into a
+# checked invariant: DCN carries no per-token traffic, so data-axis scaling
+# is limited only by host-side dispatch, not interconnect.
+# ---------------------------------------------------------------------------
+
+def _collective_traffic(hlo: str, n_dev: int, tp: int):
+    """Parse collectives out of compiled HLO: returns (n_collectives,
+    ici_bytes, dcn_bytes) where a collective counts as DCN if any of its
+    replica groups (or permute pairs) spans two model-axis rows (devices
+    are flattened [data, model]-major, so row i = partitions
+    [i*tp, (i+1)*tp))."""
+    import re
+
+    sizes = {"f32": 4, "s32": 4, "u32": 4, "bf16": 2, "f16": 2, "s8": 1,
+             "u8": 1, "pred": 1, "s64": 8, "u64": 8, "f64": 8, "s16": 2, "u16": 2}
+
+    def shape_bytes(stext):
+        total = 0
+        for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", stext):
+            if dt not in sizes:
+                continue
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            total += n * sizes[dt]
+        return total
+
+    def row(p):
+        return p // tp
+
+    n_coll, ici, dcn = 0, 0, 0
+    for line in hlo.splitlines():
+        m = re.search(
+            r"=\s*([a-z0-9_\[\],{} ]*?)\s*(all-reduce|all-gather|"
+            r"reduce-scatter|collective-permute)(-start)?\(", line)
+        if not m or "done(" in line:
+            continue
+        n_coll += 1
+        nbytes = shape_bytes(line.split("=", 1)[1].split("(")[0])
+        crosses = False
+        rg = re.search(r"replica_groups=\{(\{[\d,{}]*\})\}", line)
+        if rg:
+            for grp in re.findall(r"\{([\d,]+)\}", rg.group(1)):
+                rows = {row(int(p)) for p in grp.split(",")}
+                if len(rows) > 1:
+                    crosses = True
+        stp = re.search(r"source_target_pairs=\{([\d,{}]*)\}", line)
+        if stp:
+            for pair in re.findall(r"\{(\d+),(\d+)\}", stp.group(1)):
+                if row(int(pair[0])) != row(int(pair[1])):
+                    crosses = True
+        if crosses:
+            dcn += nbytes
+        else:
+            ici += nbytes
+    return n_coll, ici, dcn
+
+
+def test_decode_dcn_traffic_is_zero():
+    """Compile TPEngine's decode step on a (data=2, model=2) mesh and audit
+    its collectives: >0 model-axis (ICI) collectives, 0 bytes over the data
+    axis (DCN)."""
+    from gemma_tpu.gguf import GGMLType, GGUFReader
+    from gemma_tpu.models import load_params
+    from gemma_tpu.parallel import make_mesh
+    from gemma_tpu.parallel.shard_decode import TPEngine
+    from gemma_tpu.testing import TINY_CONFIG, make_gguf
+    import jax.numpy as jnp
+    import tempfile
+    import os
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "m.gguf")
+        make_gguf(path, TINY_CONFIG, weight_type=GGMLType.F32, seed=3)
+        cfg, params = load_params(GGUFReader(path), mode="dequant")
+    tp = 2
+    mesh = make_mesh(2, tp, devices=jax.devices()[:4])
+    eng = TPEngine(cfg, params, mesh, max_seq_len=32, max_batch=2,
+                   donate_cache=False)
+    cache = eng.place_cache(eng.new_cache(2))
+    tok = jnp.zeros(2, jnp.int32)
+    hlo = eng._decode.lower(eng.params, tok, cache).compile().as_text()
+    n_coll, ici, dcn = _collective_traffic(hlo, n_dev=4, tp=tp)
+    assert n_coll > 0, "no collectives found — audit is vacuous"
+    assert dcn == 0, f"decode step sends {dcn} bytes across the data axis (DCN)"
+    assert ici > 0
+    # the design's own accounting: 2 psums/layer on [B_local, 1, d_model]
+    # f32 + the embed-gather psum + the logits all-gather — all model-axis.
+    # (XLA may fuse/widen; the invariant asserted is the axis, not the sum.)

@@ -136,3 +136,21 @@ def test_paged_int8_kv(model):
     dense = Engine(cfg, params, EngineConfig(max_seq_len=64, donate_cache=False))
     want = dense.generate([[1, 7, 300, 42]], 4)[0]
     assert sum(a == b for a, b in zip(toks, want)) >= 3
+
+
+def test_auto_page_size(model):
+    """Geometry-aware default (VERDICT r4 #7): page_size=None resolves from
+    (Hkv, max_seq_len) per BENCHMARKS.md — 256 for MQA long-context (2B@8K
+    ps=64 measured 0.84x dense vs 0.92x at ps=256), 64 everywhere else."""
+    from gemma_tpu.models import GEMMA_2B, GEMMA_7B
+
+    assert Engine._auto_page_size(GEMMA_2B, EngineConfig(max_seq_len=8192)) == 256
+    assert Engine._auto_page_size(GEMMA_2B, EngineConfig(max_seq_len=2048)) == 256
+    assert Engine._auto_page_size(GEMMA_2B, EngineConfig(max_seq_len=512)) == 64
+    assert Engine._auto_page_size(GEMMA_7B, EngineConfig(max_seq_len=8192)) == 64
+    # Engine.__init__ resolves None in place; explicit values pass through
+    cfg, params = model
+    eng = Engine(cfg, params, EngineConfig(max_seq_len=64, paged=True))
+    assert eng.ecfg.page_size == 64
+    eng = Engine(cfg, params, EngineConfig(max_seq_len=64, paged=True, page_size=16))
+    assert eng.ecfg.page_size == 16

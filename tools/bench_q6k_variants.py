@@ -1,0 +1,260 @@
+#!/usr/bin/env python
+"""q6_k split-plane experiment (VERDICT r4 #2): is 6.75 bpw worth the 2-bit
+extraction chain?
+
+Device q6_k v4 streams 8.75 bpw (plain int8 payload) vs ggml's 6.5625 wire
+density — the one big byte lever left. The candidate layout splits the 6-bit
+value q in [-32, 31] (u = q + 32) into:
+
+  ql  u8 [K/2, N]  K-paired signed nibbles of s4 = (u & 15) - 8  (4 bpw)
+  qh  u8 [K/4, N]  2-bit planes of hi2 = u >> 4, PLANE-MAJOR per
+                   1024-row K-granule: byte row j of granule g packs
+                   hi2[g*1024 + i*256 + j] at bits 2i..2i+1 — so in-kernel
+                   extraction is shift+mask then a CONTIGUOUS concat, not
+                   an interleave                                  (2 bpw)
+  sc8 i8 [K/16, N] exact ggml sub-scales (unchanged)            (0.5 bpw)
+  d   bf16 [K/64, N] exact hi/lo superscale pairs (unchanged)  (0.25 bpw)
+
+Reconstruction: q = s4 + 16*hi2 - 24; the -24 is rank-reduced into an
+xsum16 @ (-24*sc) MXU dot (the q4_k affine-fold trick), so the per-weight
+chain is: bitcast+convert(s4), extract(hi2: ~1.75 quarter-tile int ops),
+concat, convert, fma, scale-multiply.
+
+Variants (all verified against the same dequant before timing):
+
+  prod       shipped int8-payload kernel (8.75 bpw)        — baseline
+  split_f32  combine in f32 (convert both planes, fma)     — candidate
+  split_int  combine in int32, single convert at the end   — candidate
+  stream     DMA-only pass over the split-plane byte volume — floor
+
+    python tools/bench_q6k_variants.py
+"""
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import jax
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gemma_tpu.compile_cache import setup_compile_cache
+
+setup_compile_cache()
+
+import ml_dtypes
+
+M = 8
+CH = 32
+N, K = 2048, 16384  # ffn_down (Gemma-2B)
+BK, BN = 2048, 2048
+GRAN = 1024  # plane-major K-granule of the qh layout (= q6_k bk alignment)
+
+
+def _extract_hi2(qh_tile, bk, bn):
+    """u8 [bk/4, bn] plane-major 2-bit fields -> int32 [bk, bn]."""
+    b = qh_tile.astype(jnp.int32).reshape(bk // GRAN, GRAN // 4, bn)
+    hi = jnp.concatenate(
+        [(b >> 0) & 3, (b >> 2) & 3, (b >> 4) & 3, b >> 6], axis=1
+    )  # [bk/GRAN, GRAN, bn]
+    return hi.reshape(bk, bn)
+
+
+def _kernel(x_ref, xs_ref, ql_ref, qh_ref, sc8_ref, d_ref, o_ref, acc_ref,
+            *, nsteps, mode):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    bn = o_ref.shape[1]
+    if mode == "stream":
+        # DMA floor: touch every byte of the split layout, trivial compute
+        s = (
+            ql_ref[...].astype(jnp.float32).sum()
+            + qh_ref[...].astype(jnp.float32).sum()
+            + sc8_ref[...].astype(jnp.float32).sum()
+            + d_ref[...].astype(jnp.float32).sum()
+        )
+        acc_ref[...] += s * 1e-20 + jax.lax.dot_general(
+            x_ref[...].astype(jnp.float32),
+            jnp.zeros((x_ref.shape[1], bn), jnp.float32),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+    elif mode == "prod":
+        # shipped kernel math: int8 payload (rides in ql+qh byte budget is
+        # NOT comparable here — prod uses its own int8 qs array)
+        qf = ql_ref[...].astype(jnp.float32)  # int8 [bk, bn] in this mode
+        bk = qf.shape[0]
+        S = bk // 256
+        dv = d_ref[...].astype(jnp.float32).reshape(S, 4, bn)
+        d = dv[:, 0:1, :] + dv[:, 1:2, :]
+        sc = (sc8_ref[...].astype(jnp.float32).reshape(S, 16, bn) * d).reshape(bk // 16, bn)
+        w = (qf.reshape(bk // 16, 16, bn) * sc[:, None, :]).reshape(bk, bn)
+        acc_ref[...] += jax.lax.dot_general(
+            x_ref[...].astype(jnp.float32), w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        s4 = pltpu.bitcast(ql_ref[...], jnp.int4)  # [bk, bn]
+        bk = s4.shape[0]
+        S = bk // 256
+        dv = d_ref[...].astype(jnp.float32).reshape(S, 4, bn)
+        d = dv[:, 0:1, :] + dv[:, 1:2, :]
+        sc = (sc8_ref[...].astype(jnp.float32).reshape(S, 16, bn) * d).reshape(bk // 16, bn)
+        hi2 = _extract_hi2(qh_ref[...], bk, bn)
+        if mode == "split_f32":
+            qf = s4.astype(jnp.float32) + 16.0 * hi2.astype(jnp.float32)
+        else:  # split_int
+            qf = (s4.astype(jnp.int32) + (hi2 << 4)).astype(jnp.float32)
+        w = (qf.reshape(bk // 16, 16, bn) * sc[:, None, :]).reshape(bk, bn)
+        # -24 term: rank-reduced to one small MXU dot against xsum16
+        acc_ref[...] += jax.lax.dot_general(
+            xs_ref[...], -24.0 * sc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] += jax.lax.dot_general(
+            x_ref[...].astype(jnp.float32), w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(pl.program_id(2) == nsteps - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def pack_split(q_signed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """[K, N] int values in [-32, 31] -> (ql u8 [K/2, N], qh u8 [K/4, N])."""
+    Kk, Nn = q_signed.shape
+    u = (q_signed.astype(np.int16) + 32).astype(np.uint8)  # 0..63
+    s4 = ((u & 15).astype(np.int8) - 8) & 0xF
+    ql = (s4[0::2] | (s4[1::2] << 4)).astype(np.uint8)
+    hi2 = u >> 4  # 0..3
+    g = hi2.reshape(Kk // GRAN, 4, GRAN // 4, Nn)  # [granule, plane i, row j, n]
+    qh = (g[:, 0] | (g[:, 1] << 2) | (g[:, 2] << 4) | (g[:, 3] << 6)).astype(np.uint8)
+    return ql, qh.reshape(Kk // 4, Nn)
+
+
+def make_inputs(rng):
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+    q = rng.integers(-32, 32, size=(K, N), dtype=np.int8)
+    sc8 = rng.integers(-64, 64, size=(K // 16, N), dtype=np.int8)
+    d_hi = (rng.uniform(0.5, 1.0, size=(K // 256, N)) * 0.01).astype(np.float16)
+    d4 = np.zeros((K // 256, 4, N), dtype=ml_dtypes.bfloat16)
+    d32 = d_hi.astype(np.float32)
+    d4[:, 0::2] = d32.astype(ml_dtypes.bfloat16)[:, None, :]
+    d4[:, 1::2] = (d32 - d4[:, 0].astype(np.float32)).astype(ml_dtypes.bfloat16)[:, None, :]
+    d = d4.reshape(K // 64, N)
+    ql, qh = pack_split(q)
+    xs16 = np.asarray(x, np.float32).reshape(M, K // 16, 16).sum(-1).T
+    return x, q, sc8, d, ql, qh, jnp.asarray(xs16, jnp.float32)
+
+
+def build_call(mode, arrays):
+    x, q, sc8, d, ql, qh, xs = arrays
+    nsteps = K // BK
+    kernel = functools.partial(_kernel, nsteps=nsteps, mode=mode)
+    if mode == "prod":
+        pay, payspec = jnp.asarray(q), pl.BlockSpec((BK, BN), lambda m, n, k: (k, n))
+        qh_in, qh_spec = jnp.asarray(qh[:1, :]), pl.BlockSpec((1, BN), lambda m, n, k: (0, n))
+    else:
+        pay, payspec = jnp.asarray(ql), pl.BlockSpec((BK // 2, BN), lambda m, n, k: (k, n))
+        qh_in, qh_spec = jnp.asarray(qh), pl.BlockSpec((BK // 4, BN), lambda m, n, k: (k, n))
+
+    def call(x, xs):
+        return pl.pallas_call(
+            kernel,
+            grid=(1, N // BN, nsteps),
+            in_specs=[
+                pl.BlockSpec((M, BK), lambda m, n, k: (m, k)),
+                pl.BlockSpec((BK // 16, M), lambda m, n, k: (k, m)),
+                payspec,
+                qh_spec,
+                pl.BlockSpec((BK // 16, BN), lambda m, n, k: (k, n)),
+                pl.BlockSpec((BK // 64, BN), lambda m, n, k: (k, n)),
+            ],
+            out_specs=pl.BlockSpec((M, BN), lambda m, n, k: (m, n)),
+            out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((M, BN), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(x, xs, pay, qh_in, jnp.asarray(sc8), jnp.asarray(d))
+
+    return call
+
+
+def verify(arrays):
+    """split variants must reproduce prod's dequant bit-for-bit."""
+    x, q, sc8, d, *_ = arrays
+    dv = d.astype(np.float32).reshape(K // 256, 4, N)
+    dd = dv[:, 0] + dv[:, 1]
+    sc = sc8.astype(np.float32).reshape(K // 256, 16, N) * dd[:, None, :]
+    w = q.astype(np.float32).reshape(K // 16, 16, N) * sc.reshape(K // 16, 1, N)
+    ref = np.asarray(x, np.float32) @ w.reshape(K, N)
+    for mode in ("prod", "split_f32", "split_int"):
+        call = build_call(mode, arrays)
+        got = np.asarray(jax.jit(call)(x, arrays[6]))
+        err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-9)
+        status = "ok" if err < 2e-5 else "MISMATCH"
+        print(f"  verify {mode:10s} rel_err={err:.2e} {status}")
+        assert err < 2e-5, (mode, err)
+
+
+def measure(mode, arrays, reps=5, r=32):
+    x, *_ , xs = arrays
+    call = build_call(mode, arrays)
+
+    @jax.jit
+    def prog(x, xs):
+        xx = x
+        out = None
+        for _ in range(CH):
+            out = call(xx, xs)
+            xx = x + out[:, :1].astype(jnp.bfloat16) * jnp.bfloat16(1e-8)
+        return out[:1, :8]
+
+    def run_r(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = prog(x, xs)
+        _ = np.asarray(out)
+        return time.perf_counter() - t0
+
+    run_r(1)
+    vals = []
+    for _ in range(reps):
+        t1 = run_r(1)
+        tr = run_r(1 + r)
+        vals.append((tr - t1) / r / CH)
+    vals.sort()
+    return vals[len(vals) // 2]
+
+
+def main():
+    rng = np.random.default_rng(0)
+    arrays = make_inputs(rng)
+    print(f"device: {jax.devices()[0].device_kind}, ffn_down [{N},{K}], M={M}")
+    nw = N * K
+    bpw = {
+        "prod": (nw + nw // 16 + 2 * nw // 64) * 8 / nw,
+        "split_f32": (nw // 2 + nw // 4 + nw // 16 + 2 * nw // 64) * 8 / nw,
+        "split_int": (nw // 2 + nw // 4 + nw // 16 + 2 * nw // 64) * 8 / nw,
+        "stream": (nw // 2 + nw // 4 + nw // 16 + 2 * nw // 64) * 8 / nw,
+    }
+    verify(arrays)
+    for mode in ("prod", "split_f32", "split_int", "stream"):
+        dt = measure(mode, arrays)
+        mb = bpw[mode] / 8 * nw / 1e6
+        print(f"  {mode:10s} {dt*1e6:8.1f} us  {bpw[mode]:5.2f} bpw "
+              f"{mb/dt/1e3:6.1f} GB/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

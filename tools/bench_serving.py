@@ -46,6 +46,16 @@ def main() -> None:
     ap.add_argument("--prefill-chunk", type=int, default=0,
                     help="overlapped admission: admit one prefill chunk "
                     "per decode tick instead of a full-prompt stall")
+    ap.add_argument("--speculative", action="store_true",
+                    help="batched speculative ticks (greedy, dense cache): "
+                    "every slot drafts+verifies spec-k tokens per tick; "
+                    "the run loop pipelines --spec-pipeline ticks in flight")
+    ap.add_argument("--spec-k", type=int, default=7)
+    ap.add_argument("--spec-pipeline", type=int, default=2)
+    ap.add_argument("--fill", default="zeros", choices=("zeros", "random"),
+                    help="weight fill: zeros => fully repetitive greedy "
+                    "streams (spec ceiling); random => mostly-incompressible "
+                    "streams (spec mid-point)")
     args = ap.parse_args()
 
     from gemma_tpu.models import GEMMA_2B, GEMMA_7B
@@ -56,7 +66,7 @@ def main() -> None:
     cfg = {"gemma2b": GEMMA_2B, "gemma7b": GEMMA_7B, "tiny": TINY_CONFIG}[args.model]
     fmt = "bf16" if args.model == "tiny" else args.fmt
     t0 = time.time()
-    params = jax.device_put(make_params(cfg, fmt=fmt, fill="zeros"))
+    params = jax.device_put(make_params(cfg, fmt=fmt, fill=args.fill))
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[:1])
     print(f"[+{time.time()-t0:.1f}s] params on device", file=sys.stderr, flush=True)
 
@@ -79,15 +89,20 @@ def main() -> None:
             for i in range(args.requests)
         ]
 
+    spec_kw = dict(
+        speculative=args.speculative, spec_k=args.spec_k,
+        spec_pipeline=args.spec_pipeline,
+    )
+
     # warmup: compile prefill bucket + the blocked decode program
-    sched = Scheduler(eng)
+    sched = Scheduler(eng, **spec_kw)
     for r in make_requests()[: args.batch]:
         sched.submit(r)
     sched.run(block=args.block)
     print(f"[+{time.time()-t0:.1f}s] compiled/warm", file=sys.stderr, flush=True)
 
     # measured run: full backlog submitted at t=0 (offline-throughput mode)
-    sched = Scheduler(eng, admit_per_tick=args.admit_per_tick)
+    sched = Scheduler(eng, admit_per_tick=args.admit_per_tick, **spec_kw)
     for r in make_requests():
         sched.submit(r)
     t1 = time.monotonic()
@@ -96,24 +111,31 @@ def main() -> None:
 
     stats = sched.stats()
     useful = sum(min(len(r.tokens), r.max_new_tokens) for r in finished)
-    print(
-        json.dumps(
-            {
-                "metric": f"serving_tokens_per_sec_{args.model}_{fmt}_b{args.batch}",
-                "value": round(useful / wall, 2),
-                "unit": "tokens/s",
-                "requests": stats["requests"],
-                "decode_steps": stats["decode_steps"],
-                "p50_ttft_s": round(stats["p50_ttft_s"], 4),
-                "p99_ttft_s": round(stats["p99_ttft_s"], 4),
-                "block": args.block,
-                "wall_s": round(wall, 2),
-                "admit_per_tick": args.admit_per_tick,
-                "prefill_chunk": args.prefill_chunk,
-                "kv_quant": args.kv_quant,
-            }
-        )
-    )
+    out = {
+        "metric": f"serving_tokens_per_sec_{args.model}_{fmt}_b{args.batch}",
+        "value": round(useful / wall, 2),
+        "unit": "tokens/s",
+        "requests": stats["requests"],
+        "decode_steps": stats["decode_steps"],
+        "p50_ttft_s": round(stats["p50_ttft_s"], 4),
+        "p99_ttft_s": round(stats["p99_ttft_s"], 4),
+        "block": args.block,
+        "wall_s": round(wall, 2),
+        "admit_per_tick": args.admit_per_tick,
+        "prefill_chunk": args.prefill_chunk,
+        "kv_quant": args.kv_quant,
+        "fill": args.fill,
+    }
+    if args.speculative:
+        out["speculative"] = {
+            "k": args.spec_k, "pipeline": args.spec_pipeline,
+            "spec_forwards": stats["spec_forwards"],
+            "tokens_discarded": stats["tokens_discarded"],
+            "accepted_tokens_per_verify": round(
+                useful / max(stats["spec_forwards"], 1), 2
+            ),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

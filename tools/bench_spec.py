@@ -55,8 +55,14 @@ def main():
     ap.add_argument("--tokens", type=int, default=96)
     ap.add_argument("--fill", default="zeros", choices=("zeros", "random"),
                     help="random: a random-weight model whose greedy stream "
-                    "is (mostly) incompressible — measures the ZERO-"
-                    "acceptance floor instead of the full-acceptance ceiling")
+                    "is (mostly) incompressible — the mid-point between the "
+                    "full-acceptance ceiling and the --force-reject floor")
+    ap.add_argument("--force-reject", action="store_true",
+                    help="draft-hostile floor: replace the bigram draft with "
+                    "tokens guaranteed to fail verification (zeros fill => "
+                    "argmax is always 0; drafting 1s rejects every draft), "
+                    "so every verify forward emits exactly ONE token — the "
+                    "measured zero-acceptance worst case")
     args = ap.parse_args()
 
     import numpy as np
@@ -72,6 +78,16 @@ def main():
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[:1])
     eng = Engine(cfg, params, EngineConfig(max_seq_len=512, max_batch=1))
     spec = SpecDecoder(eng, k=args.k, block=args.block)
+    if args.force_reject:
+        import jax.numpy as jnp
+
+        if args.fill != "zeros":
+            raise SystemExit("--force-reject needs --fill zeros (argmax==0)")
+        # patched before the first trace: every draft token is 1, argmax is
+        # always 0 -> cumprod acceptance is 0 at position 0, n_emit == 1
+        spec._draft = lambda history, hist_len, t_prev, t_cur: jnp.full(
+            (spec.k,), 1, jnp.int32
+        )
 
     # zero weights => logits all equal => argmax = token 0 everywhere =>
     # the greedy continuation is 0,0,0,... — a fully repetitive stream
@@ -103,6 +119,7 @@ def main():
     print(json.dumps({
         "metric": f"speculative_decode_{args.model}_q4_0",
         **results, "k": args.k, "block": args.block, "fill": args.fill,
+        "force_reject": args.force_reject,
     }))
 
 
