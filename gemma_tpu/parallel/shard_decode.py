@@ -251,13 +251,15 @@ def cache_specs(cfg: GemmaConfig, mesh: Mesh, batch: int, cache) -> Any:
             k_scale=None if cache.k_scale is None else sc,
             v_scale=None if cache.v_scale is None else sc,
         )
-    kv = P(None, b, h, None, None)  # [L, B, H, S, D]
-    sc = P(None, b, h, None)  # [L, B, H, S]
+    kv = P(b, h, None, None)  # per-layer [B, H, S, D]
+    sc = P(b, h, None)  # per-layer [B, H, S]
+    L = cache.n_layers
     return dataclasses.replace(
         cache,
-        k=kv, v=kv, length=P(b),
-        k_scale=None if cache.k_scale is None else sc,
-        v_scale=None if cache.v_scale is None else sc,
+        k=tuple(kv for _ in range(L)), v=tuple(kv for _ in range(L)),
+        length=P(b),
+        k_scale=None if cache.k_scale is None else tuple(sc for _ in range(L)),
+        v_scale=None if cache.v_scale is None else tuple(sc for _ in range(L)),
     )
 
 
@@ -491,10 +493,8 @@ class TPEngine:
         logits, tmp = self._prefill_rep(
             self.params, jnp.asarray(toks), jnp.asarray([len(prompt)], np.int32), tmp
         )
-        scales = (
-            (tmp.k_scale[:, 0], tmp.v_scale[:, 0]) if tmp.quantized else (None, None)
-        )
-        return logits[0], tmp.k[:, 0], tmp.v[:, 0], scales, len(prompt)
+        k_seq, v_seq, scales = tmp.extract_seq(0)
+        return logits[0], k_seq, v_seq, scales, len(prompt)
 
     @functools.cached_property
     def _insert(self):

@@ -120,14 +120,15 @@ def shard_params(params: dict[str, Any], mesh: Mesh) -> dict[str, Any]:
 
 
 def cache_pspec(cfg: GemmaConfig, mesh: Mesh, batch: int, quant_scale: bool = False) -> P:
-    """Spec for KVCache k/v arrays [L, B, S, H_kv, D]."""
+    """Spec for one KVCache k/v layer buffer [B, H_kv, S, D] (scale:
+    [B, H_kv, S]): batch over data, KV heads over model."""
     dp = _axis_size(mesh, DATA_AXIS)
     tp = _axis_size(mesh, MODEL_AXIS)
     b_axis = _maybe(DATA_AXIS, batch, dp)
     h_axis = _maybe(MODEL_AXIS, cfg.n_kv_heads, tp)
     if quant_scale:
-        return P(None, b_axis, None, h_axis)
-    return P(None, b_axis, None, h_axis, None)
+        return P(b_axis, h_axis, None)
+    return P(b_axis, h_axis, None, None)
 
 
 def shard_cache(cache, cfg: GemmaConfig, mesh: Mesh):

@@ -355,10 +355,7 @@ class Engine:
             logits, tmp = self._prefill(
                 self.params, jnp.asarray(toks), jnp.asarray([len(prompt)], np.int32), tmp
             )
-        k_seq, v_seq = tmp.k[:, 0], tmp.v[:, 0]
-        scales = (
-            (tmp.k_scale[:, 0], tmp.v_scale[:, 0]) if tmp.quantized else (None, None)
-        )
+        k_seq, v_seq, scales = tmp.extract_seq(0)
         return logits[0], k_seq, v_seq, scales, len(prompt)
 
     def insert_sequence(self, cache, slot: int, prefill_out, pages: list[int] | None = None):

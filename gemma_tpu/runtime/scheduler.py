@@ -323,10 +323,7 @@ class Scheduler:
         # final chunk landed: assemble the insert tuple (prefill_standalone
         # output shape) and activate
         tmp = st.cache
-        k_seq, v_seq = tmp.k[:, 0], tmp.v[:, 0]
-        scales = (
-            (tmp.k_scale[:, 0], tmp.v_scale[:, 0]) if tmp.quantized else (None, None)
-        )
+        k_seq, v_seq, scales = tmp.extract_seq(0)
         pre = (st.last[0], k_seq, v_seq, scales, L)
         self.cache = self.engine.insert_sequence(self.cache, slot, pre, st.pages)
         self._logits = self._logits.at[slot].set(pre[0])

@@ -169,16 +169,17 @@ def probe_combined_prelisted(S, limit):
 def main():
     print(f"device: {jax.devices()[0].device_kind} — 7B geometry "
           f"L={L} H={H} D={D}, live limit 2000")
+    probes = [
+        ("write", probe_write, False),
+        ("attn-via-slice", probe_slice_attn, True),
+        ("attn-prelisted", probe_attn_prelisted, True),
+        ("combined", probe_combined, True),
+        ("per-layer-combined", probe_combined_prelisted, True),
+    ]
     for S in (2048, 4096):
-        w = probe_write(S)
-        s = probe_slice_attn(S, 2000)
-        p = probe_attn_prelisted(S, 2000)
-        c = probe_combined(S, 1990)
-        cp = probe_combined_prelisted(S, 1990)
-        print(f"  S={S}: write {w*1e3:7.3f} ms/step   "
-              f"attn-via-slice {s*1e3:7.3f}   attn-prelisted {p*1e3:7.3f}   "
-              f"combined {c*1e3:7.3f}   per-layer-combined {cp*1e3:7.3f}",
-              flush=True)
+        for name, fn, needs_lim in probes:
+            t = fn(S, 1990) if needs_lim else fn(S)
+            print(f"  S={S}: {name:20s} {t*1e3:7.3f} ms/step", flush=True)
 
 
 
