@@ -68,7 +68,7 @@ def _load():
         lib.gt_repack_q4_0.argtypes = [u8p, i64, i64, u8p, u16p]
         lib.gt_repack_q8_0.argtypes = [u8p, i64, i64, i8p, u16p]
         lib.gt_repack_q4_k.argtypes = [u8p, i64, i64, u8p, i8p]
-        lib.gt_repack_q6_k.argtypes = [u8p, i64, i64, i8p, i8p, u16p]
+        lib.gt_repack_q6_k.argtypes = [u8p, i64, i64, u8p, u8p, i8p, u16p]
         for fn in (lib.gt_repack_q4_0, lib.gt_repack_q8_0, lib.gt_repack_q4_k,
                    lib.gt_repack_q6_k):
             fn.restype = ctypes.c_int
@@ -156,12 +156,13 @@ def repack(raw, t: GGMLType, shape: tuple[int, int]) -> dict[str, np.ndarray] | 
         )
         return {"qs": qs, "meta": meta}
     if t == GGMLType.Q6_K:
-        qs = np.empty((K, N), np.int8)
+        ql = np.empty((K // 2, N), np.uint8)
+        qh = np.empty((K // 4, N), np.uint8)
         sc8 = np.empty((K // 16, N), np.int8)
         d = np.empty((K // 64, N), np.uint16)
         lib.gt_repack_q6_k(
-            _ptr(buf, u8), N, K, _ptr(qs, ctypes.c_int8),
+            _ptr(buf, u8), N, K, _ptr(ql, u8), _ptr(qh, u8),
             _ptr(sc8, ctypes.c_int8), _ptr(d, ctypes.c_uint16),
         )
-        return {"qs": qs, "sc8": sc8, "d": _as_bf16(d)}
+        return {"ql": ql, "qh": qh, "sc8": sc8, "d": _as_bf16(d)}
     return None

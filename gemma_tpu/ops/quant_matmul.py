@@ -143,17 +143,32 @@ def _q4_k_kernel(x_ref, xs_ref, qs_ref, meta_ref, o_ref, acc_ref, *, nsteps, f32
     _acc_step(acc_ref, x_ref, w, nsteps, o_ref)
 
 
-def _q6_k_kernel(x_ref, qs_ref, sc8_ref, d_ref, o_ref, acc_ref, *, nsteps, f32dot):
-    # effective per-16 scale d*sc8 computed in f32 from ggml's exact int8
-    # scales and the exact bf16 hi/lo d pair (qtensor.py layout v4)
+def _q6_k_kernel(x_ref, xs_ref, ql_ref, qh_ref, sc8_ref, d_ref, o_ref, acc_ref, *, nsteps, f32dot):
+    # layout v5 split-plane (6.75 bpw vs v4's 8.75): the 6-bit value
+    # reconstructs as q = s4 + 16*hi2 - 24 — s4 rides the same one-bitcast
+    # int4 path as q4_0, hi2 is a shift+mask and one CONTIGUOUS concat per
+    # 256-row granule (plane-major qh layout, qtensor.py), and the -24
+    # rank-reduces to one xsum16 @ (-24*sc) MXU dot (the q4_k affine-fold
+    # trick). Effective per-16 scale d*sc8 in f32 from ggml's exact int8
+    # scales and the exact bf16 hi/lo d pair — dequant numerics identical
+    # to v4 (variant choice + measurements: tools/bench_q6k_variants.py).
     _init_acc(acc_ref)
-    qf = qs_ref[...].astype(jnp.float32)
-    bk, bn = qf.shape
+    s4 = pltpu.bitcast(ql_ref[...], jnp.int4)
+    bk, bn = s4.shape
     S = bk // 256
     dv = d_ref[...].astype(jnp.float32).reshape(S, 4, bn)
     d = dv[:, 0:1, :] + dv[:, 1:2, :]
     sc = (sc8_ref[...].astype(jnp.float32).reshape(S, 16, bn) * d).reshape(bk // 16, bn)
+    g = qh_ref[...].astype(jnp.int32).reshape(S, 64, bn)
+    hi2 = jnp.concatenate(
+        [(g >> 0) & 3, (g >> 2) & 3, (g >> 4) & 3, g >> 6], axis=1
+    ).reshape(bk, bn)
+    qf = (s4.astype(jnp.int32) + (hi2 << 4)).astype(jnp.float32)
     w = _group_scale(qf, sc, f32dot)
+    acc_ref[...] += jax.lax.dot_general(
+        xs_ref[...], -24.0 * sc,
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
     _acc_step(acc_ref, x_ref, w, nsteps, o_ref)
 
 
@@ -165,7 +180,7 @@ _FMT_ARRAYS = {
     "q4_0": ("qs", "scales"),
     "q8_0": ("qs", "scales"),
     "q4_k": ("qs", "meta"),
-    "q6_k": ("qs", "sc8", "d"),
+    "q6_k": ("ql", "qh", "sc8", "d"),
 }
 _FMT_KERNELS = {
     "q4_0": _q4_0_kernel,
@@ -181,7 +196,8 @@ _FMT_KERNELS = {
 #   q6_k: bf16 d [K/64, N]            -> bk % 1024 == 0
 _FMT_BK_ALIGN = {"q4_0": 512, "q8_0": 512, "q4_k": 1024, "q6_k": 1024}
 # rank-reduced affine fold: group size of the xsum side input (None = none)
-_FMT_XSUM_GROUP = {"q4_0": None, "q8_0": None, "q4_k": 32, "q6_k": None}
+# (q6_k v5: the -24 reconstruction offset folds at per-16 granularity)
+_FMT_XSUM_GROUP = {"q4_0": None, "q8_0": None, "q4_k": 32, "q6_k": 16}
 
 
 def _pick_bk(K: int, fmt: str) -> int | None:

@@ -50,12 +50,14 @@ q8_0   qs i8 [K, N],   scales bf16 [K/32, N]                         8.5
 q4_k   qs u8 [K/2, N] (signed q-8 pairs), meta i8 [3K/32, N]
        (24 rows/superblock: 8 sc6, 8 mn6, 4 lo + 4 hi bytes of
        the bf16 [d_hi, dmin_hi, d_lo, dmin_lo] quad)                 4.75
-q6_k   qs i8 [K, N] (q-32 in [-32, 31]), sc8 i8 [K/16, N],
-       d bf16 [K/64, N] (hi/lo pairs per superblock)                 8.75
+q6_k   ql u8 [K/2, N] (signed nibble pairs of (u&15)-8, u = q+32),
+       qh u8 [K/4, N] (plane-major 2-bit fields of u>>4),
+       sc8 i8 [K/16, N], d bf16 [K/64, N] (hi/lo pairs)              6.75
 ====== ============================================================ ======
 
 (prior layouts for the record: v1 f32-extraction 37 %-of-roofline; v2/v3
-f32 folded scales — q4_0 5.0 / q4_k 6.0 / q6_k 10.0 bpw.)
+f32 folded scales — q4_0 5.0 / q4_k 6.0 / q6_k 10.0 bpw; v4 q6_k plain
+int8 payload 8.75 bpw.)
 """
 from __future__ import annotations
 
@@ -96,7 +98,7 @@ def _hi_lo(x16: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 # payload array + K-rows-per-payload-row, per format (shape derivation)
-_PAYLOAD = {"q4_0": ("qs", 2), "q8_0": ("qs", 1), "q4_k": ("qs", 2), "q6_k": ("qs", 1)}
+_PAYLOAD = {"q4_0": ("qs", 2), "q8_0": ("qs", 1), "q4_k": ("qs", 2), "q6_k": ("ql", 2)}
 
 
 @jax.tree_util.register_pytree_node_class
@@ -221,13 +223,29 @@ def pack_q4_k(raw, shape) -> dict[str, np.ndarray]:
     }
 
 
+def _pack_hi2_planes(hi2_t: np.ndarray) -> np.ndarray:
+    """[K, N] values in 0..3 -> u8 [K/4, N], PLANE-MAJOR per 256-row
+    K-granule (= one q6_k superblock): byte row j of granule g packs
+    hi2[g*256 + i*64 + j] at bits 2i..2i+1. In-kernel extraction is then
+    shift+mask and a CONTIGUOUS concat along the granule's row axis — no
+    interleave (tools/bench_q6k_variants.py)."""
+    Kk, Nn = hi2_t.shape
+    g = hi2_t.reshape(Kk // 256, 4, 64, Nn)
+    qh = (g[:, 0] | (g[:, 1] << 2) | (g[:, 2] << 4) | (g[:, 3] << 6)).astype(np.uint8)
+    return qh.reshape(Kk // 4, Nn)
+
+
 def pack_q6_k(raw, shape) -> dict[str, np.ndarray]:
-    # device format v4: plain int8 payload (q-32) + ggml's EXACT per-16
-    # int8 scales + per-superblock bf16 d (replicated to K/64 granularity
-    # for tile alignment) = 8.75 bpw. The kernel computes the effective
-    # scale d*sc8 in f32, so the only rounding vs ggml is bf16(d)
-    # (<= 2^-9 multiplicative). (The v3 f32 folded-scale form was 10.0 bpw
-    # — not the 9.0 its comments claimed — and a ppl-gate notch worse.)
+    # device format v5 (split-plane, 6.75 bpw vs ggml wire 6.5625; v4's
+    # plain int8 payload was 8.75 and measured DMA-bound): the 6-bit value
+    # q in [-32, 31] (u = q + 32) splits into
+    #   ql  u8 [K/2, N]  K-paired signed nibbles of s4 = (u & 15) - 8
+    #   qh  u8 [K/4, N]  plane-major 2-bit fields of hi2 = u >> 4
+    #   sc8 i8 [K/16, N] ggml's EXACT per-16 sub-scales (unchanged)
+    #   d   bf16 [K/64, N] exact hi/lo superscale pairs (unchanged)
+    # Reconstruction q = s4 + 16*hi2 - 24 is exact integer math; the -24
+    # rank-reduces to one xsum16 @ (-24*sc) MXU dot in the kernel, so
+    # dequant numerics are IDENTICAL to v4 (only bf16(d) rounds vs ggml).
     rows, cols = shape
     nsb = cols // 256
     b = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(rows, nsb, 210)
@@ -242,7 +260,7 @@ def pack_q6_k(raw, shape) -> dict[str, np.ndarray]:
     d4[:, :, 0::2] = d_hi[:, :, None]
     d4[:, :, 1::2] = d_lo[:, :, None]
     d4 = d4.reshape(rows, cols // 64)
-    # Decode ggml's interleaved (ql, qh) into plain 6-bit values first.
+    # Decode ggml's interleaved (ql, qh) into plain 6-bit values u = q+32.
     q = np.empty((rows, nsb, 256), dtype=np.uint8)
     for n in range(2):
         lq = ql[:, :, n * 64 : n * 64 + 64]
@@ -252,9 +270,11 @@ def pack_q6_k(raw, shape) -> dict[str, np.ndarray]:
         q[:, :, base + 32 : base + 64] = (lq[:, :, 32:] & 0x0F) | (((hq >> 2) & 3) << 4)
         q[:, :, base + 64 : base + 96] = (lq[:, :, :32] >> 4) | (((hq >> 4) & 3) << 4)
         q[:, :, base + 96 : base + 128] = (lq[:, :, 32:] >> 4) | (((hq >> 6) & 3) << 4)
-    qp = (q.reshape(rows, cols).astype(np.int16) - 32).astype(np.int8)  # [-32, 31]
+    u = _t(q.reshape(rows, cols))  # [K, N] values 0..63
+    s4 = (u & 0x0F).astype(np.int8) - 8
     return {
-        "qs": _t(qp),
+        "ql": _pack_signed_pairs(s4),
+        "qh": _pack_hi2_planes(u >> 4),
         "sc8": _t(sc8.reshape(rows, cols // 16)),
         "d": _t(d4),
     }
@@ -343,7 +363,13 @@ def dequant_t(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
             q.reshape(K // 32, 32, N) * sc[:, None, :] + offs[:, None, :]
         ).reshape(K, N)
     elif qt.fmt == "q6_k":
-        q = a["qs"].astype(jnp.float32)
+        # v5 split-plane: q = s4 + 16*hi2 - 24, exact integers
+        s4 = _unpack_signed_pairs(a["ql"])
+        g = a["qh"].astype(jnp.int32).reshape(K // 256, 64, N)
+        hi2 = jnp.concatenate(
+            [(g >> 0) & 3, (g >> 2) & 3, (g >> 4) & 3, g >> 6], axis=1
+        ).reshape(K, N)
+        q = (s4 + 16 * hi2 - 24).astype(jnp.float32)
         S = K // 256
         dv = a["d"].astype(jnp.float32).reshape(S, 4, N)
         d = dv[:, 0, :] + dv[:, 1, :]  # exact bf16 hi/lo pair

@@ -110,8 +110,10 @@ def make_params(
             ).reshape(3 * cols // 32, rows)
             arrays = {"qs": payload((cols // 2, rows), np.uint8), "meta": meta}
         elif fmt == "q6_k":
+            # split-plane layout v5 (see qtensor.pack_q6_k)
             arrays = {
-                "qs": payload((cols, rows), np.int8),
+                "ql": payload((cols // 2, rows), np.uint8),
+                "qh": payload((cols // 4, rows), np.uint8),
                 "sc8": sub_scales((cols // 16, rows)),
                 "d": scales((cols // 64, rows)),
             }

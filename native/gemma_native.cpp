@@ -305,8 +305,9 @@ int gt_dequant(int ggml_type, const uint8_t* raw, int64_t rows, int64_t cols,
 // Logical tensor [N=rows, K=cols]; outputs are [K-granule, N] row-major,
 // i.e. out[kg * N + n]. 4-bit payloads are K-paired signed nibbles:
 // byte[k', n] = (v[2k'] & 0xF) | (v[2k'+1] << 4), values pre-biased
-// (q4_0/q4_k store q-8; q6_k stores a = (q-32)>>3 and b = q-32-8a), so the
-// Pallas kernel's pltpu.bitcast(u8, int4) restores natural K-order.
+// (q4_0/q4_k store q-8; q6_k stores s4 = (u & 15) - 8 of u = q+32, with
+// the high 2 bits in a separate plane-major qh array), so the Pallas
+// kernel's pltpu.bitcast(u8, int4) restores natural K-order.
 // ---------------------------------------------------------------------------
 
 inline uint8_t pack_pair(int v0, int v1) {
@@ -399,12 +400,14 @@ int gt_repack_q4_k(const uint8_t* raw, int64_t N, int64_t K, uint8_t* qs,
   return 0;
 }
 
-int gt_repack_q6_k(const uint8_t* raw, int64_t N, int64_t K, int8_t* qs_out,
-                   int8_t* sc8_out, uint16_t* d_out) {
-  // layout v4: plain int8 payload (q-32 in [-32, 31]) + ggml's EXACT
-  // per-16 int8 scales + per-superblock d as exact bf16 hi/lo pairs,
-  // rows [d_hi, d_lo, d_hi, d_lo] at K/64 granularity (the kernel
-  // reconstructs f16-exact d = hi + lo in f32 — 8.75 bpw on device).
+int gt_repack_q6_k(const uint8_t* raw, int64_t N, int64_t K, uint8_t* ql_out,
+                   uint8_t* qh_out, int8_t* sc8_out, uint16_t* d_out) {
+  // layout v5 (split-plane, 6.75 bpw; qtensor.py pack_q6_k): the 6-bit
+  // value u = q+32 splits into K-paired signed nibbles of s4 = (u&15)-8
+  // (ql, [K/2, N]) and plane-major 2-bit fields of hi2 = u>>4 (qh,
+  // [K/4, N]: byte row j of superblock s packs hi2[s*256 + i*64 + j] at
+  // bits 2i..2i+1) + ggml's EXACT per-16 int8 scales + per-superblock d
+  // as exact bf16 hi/lo pairs at K/64 granularity.
   int64_t nsb = K / 256;
   parallel_rows(N, [&](int64_t lo, int64_t hi) {
     uint8_t q[256];
@@ -421,9 +424,14 @@ int gt_repack_q6_k(const uint8_t* raw, int64_t N, int64_t K, int8_t* qs_out,
         d_out[(s * 4 + 1) * N + n] = d_lo;
         d_out[(s * 4 + 2) * N + n] = d_hi;
         d_out[(s * 4 + 3) * N + n] = d_lo;
-        q6k_values(b, b + 128, q);
-        for (int j = 0; j < 256; ++j)
-          qs_out[(s * 256 + j) * N + n] = (int8_t)((int)q[j] - 32);
+        q6k_values(b, b + 128, q);  // u = q+32 in 0..63
+        for (int j = 0; j < 128; ++j)
+          ql_out[(s * 128 + j) * N + n] =
+              pack_pair((q[2 * j] & 15) - 8, (q[2 * j + 1] & 15) - 8);
+        for (int j = 0; j < 64; ++j)
+          qh_out[(s * 64 + j) * N + n] =
+              (uint8_t)((q[j] >> 4) | ((q[64 + j] >> 4) << 2) |
+                        ((q[128 + j] >> 4) << 4) | ((q[192 + j] >> 4) << 6));
       }
     }
   });
