@@ -199,8 +199,8 @@ def paged_decode_supported(cache, T: int, Hq: int) -> bool:
         return False
     from . import attention as _attn  # force-fallback verification hook
 
-    D = cache.k_pages.shape[-1]
-    Hkv = cache.k_pages.shape[2]
+    D = cache.k_pages[0].shape[-1]
+    Hkv = cache.k_pages[0].shape[1]
     on_kernel_path = (
         jax.default_backend() == "tpu"
         or os.environ.get("GEMMA_TPU_INTERPRET_KERNELS") == "1"

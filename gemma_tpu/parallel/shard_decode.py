@@ -243,13 +243,16 @@ def cache_specs(cfg: GemmaConfig, mesh: Mesh, batch: int, cache) -> Any:
         # silently diverge. TPEngine enforces dp == 1 for paged mode.
         if dp > 1:
             raise ValueError("paged TP caches require a data axis of 1")
-        kv = P(None, None, h, None, None)  # [L, P, H, ps, D]
-        sc = P(None, None, h, None)  # [L, P, H, ps]
+        kv = P(None, h, None, None)  # per-layer [P, H, ps, D]
+        sc = P(None, h, None)  # per-layer [P, H, ps]
+        L = cache.n_layers
         return dataclasses.replace(
             cache,
-            k_pages=kv, v_pages=kv, page_table=P(None), length=P(None),
-            k_scale=None if cache.k_scale is None else sc,
-            v_scale=None if cache.v_scale is None else sc,
+            k_pages=tuple(kv for _ in range(L)),
+            v_pages=tuple(kv for _ in range(L)),
+            page_table=P(None), length=P(None),
+            k_scale=None if cache.k_scale is None else tuple(sc for _ in range(L)),
+            v_scale=None if cache.v_scale is None else tuple(sc for _ in range(L)),
         )
     kv = P(b, h, None, None)  # per-layer [B, H, S, D]
     sc = P(b, h, None)  # per-layer [B, H, S]

@@ -8,9 +8,14 @@ block table, so cache capacity is pooled (no per-slot worst-case
 reservation) and admission is O(pages-needed).
 
 Device state (jit-carried pytree):
-    k_pages, v_pages: [L, n_pages, H_kv, page_size, D]  (page_size sits
-                      second-to-last so the paged Pallas kernel tiles
-                      (ps, D) blocks directly)
+    k_pages, v_pages: tuples of L per-layer pools [n_pages, H_kv,
+                      page_size, D]  (page_size sits second-to-last so the
+                      paged Pallas kernel tiles (ps, D) blocks directly;
+                      per-layer buffers for the same XLA-aliasing reason as
+                      the dense cache — a slice of one stacked donated
+                      [L, ...] pool cannot alias into the Pallas custom
+                      call and XLA copies pool-sized slabs per step, see
+                      runtime/kv_cache.py and tools/probe_cache_cost.py)
     page_table:       i32 [B, max_pages_per_seq]  (physical page ids)
     length:           i32 [B]
 
@@ -63,11 +68,11 @@ class PageAllocator:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class PagedKVCache:
-    k_pages: Any  # [L, P, H, ps, D]
+    k_pages: Any  # tuple[L] of [P, H, ps, D]
     v_pages: Any
     page_table: jax.Array  # i32 [B, maxp]
     length: jax.Array  # i32 [B]
-    k_scale: Any = None  # [L, P, H, ps] int8 mode
+    k_scale: Any = None  # tuple[L] of [P, H, ps] int8 mode
     v_scale: Any = None
 
     def tree_flatten(self):
@@ -107,7 +112,8 @@ class PagedKVCache:
                 f"max_seq_len ({msl}) must be a multiple of page_size ({page_size})"
             )
         maxp = msl // page_size
-        shape = (config.n_layers, n_pages, config.n_kv_heads, page_size, config.head_dim)
+        L = config.n_layers
+        shape = (n_pages, config.n_kv_heads, page_size, config.head_dim)
         if identity_layout:
             if n_pages < batch * maxp + 1:
                 raise ValueError(
@@ -120,12 +126,13 @@ class PagedKVCache:
         kw = {}
         if quantized:
             kw = dict(
-                k_scale=jnp.zeros(shape[:-1], jnp.float32),
-                v_scale=jnp.zeros(shape[:-1], jnp.float32),
+                k_scale=tuple(jnp.zeros(shape[:-1], jnp.float32) for _ in range(L)),
+                v_scale=tuple(jnp.zeros(shape[:-1], jnp.float32) for _ in range(L)),
             )
+        pdt = jnp.int8 if quantized else dtype
         return cls(
-            k_pages=jnp.zeros(shape, jnp.int8 if quantized else dtype),
-            v_pages=jnp.zeros(shape, jnp.int8 if quantized else dtype),
+            k_pages=tuple(jnp.zeros(shape, pdt) for _ in range(L)),
+            v_pages=tuple(jnp.zeros(shape, pdt) for _ in range(L)),
             page_table=page_table,
             length=jnp.zeros(batch, jnp.int32),
             **kw,
@@ -136,12 +143,16 @@ class PagedKVCache:
         return self.k_scale is not None
 
     @property
+    def n_layers(self) -> int:
+        return len(self.k_pages)
+
+    @property
     def page_size(self) -> int:
-        return self.k_pages.shape[3]
+        return self.k_pages[0].shape[2]
 
     @property
     def n_pages(self) -> int:
-        return self.k_pages.shape[1]
+        return self.k_pages[0].shape[0]
 
     @property
     def batch(self) -> int:
@@ -179,38 +190,48 @@ class PagedKVCache:
         return dense(self.k_pages, self.k_scale), dense(self.v_pages, self.v_scale)
 
     # -- writes ------------------------------------------------------------
+    def _replace_layer(self, layer: int, **bufs) -> "PagedKVCache":
+        """Functional single-layer update of the page-pool tuples."""
+        changes = {}
+        for name, val in bufs.items():
+            cur = list(getattr(self, name))
+            cur[layer] = val
+            changes[name] = tuple(cur)
+        return dataclasses.replace(self, **changes)
+
     def write_token(self, layer: int, index: jax.Array, k_new: jax.Array, v_new: jax.Array) -> "PagedKVCache":
         """k_new [B, 1, H, D] written at logical position index[b] of each
         sequence (physical slot via the block table)."""
         ps = self.page_size
-        H = self.k_pages.shape[2]
+        kp, vp = self.k_pages[layer], self.v_pages[layer]
+        H = kp.shape[1]
         page = jnp.take_along_axis(self.page_table, (index // ps)[:, None], axis=1)[:, 0]
         off = index % ps
         pg = page[:, None]
         h = jnp.arange(H)[None, :]
         of = off[:, None]
-        changes: dict[str, Any] = {}
         if self.quantized:
             qk, sk = self._quantize(k_new)
             qv, sv = self._quantize(v_new)
-            changes = dict(
-                k_pages=self.k_pages.at[layer, pg, h, of].set(qk[:, 0]),
-                v_pages=self.v_pages.at[layer, pg, h, of].set(qv[:, 0]),
-                k_scale=self.k_scale.at[layer, pg, h, of].set(sk[:, 0]),
-                v_scale=self.v_scale.at[layer, pg, h, of].set(sv[:, 0]),
+            return self._replace_layer(
+                layer,
+                k_pages=kp.at[pg, h, of].set(qk[:, 0]),
+                v_pages=vp.at[pg, h, of].set(qv[:, 0]),
+                k_scale=self.k_scale[layer].at[pg, h, of].set(sk[:, 0]),
+                v_scale=self.v_scale[layer].at[pg, h, of].set(sv[:, 0]),
             )
-        else:
-            changes = dict(
-                k_pages=self.k_pages.at[layer, pg, h, of].set(k_new[:, 0].astype(self.k_pages.dtype)),
-                v_pages=self.v_pages.at[layer, pg, h, of].set(v_new[:, 0].astype(self.v_pages.dtype)),
-            )
-        return dataclasses.replace(self, **changes)
+        return self._replace_layer(
+            layer,
+            k_pages=kp.at[pg, h, of].set(k_new[:, 0].astype(kp.dtype)),
+            v_pages=vp.at[pg, h, of].set(v_new[:, 0].astype(vp.dtype)),
+        )
 
     def write_chunk(self, layer: int, start: jax.Array, k_new: jax.Array, v_new: jax.Array) -> "PagedKVCache":
         """Write a [B, T, H, D] chunk at uniform logical offset `start`
         (page-aligned starts recommended; used by direct paged prefill)."""
         B, T, H = k_new.shape[:3]
         ps = self.page_size
+        kp, vp = self.k_pages[layer], self.v_pages[layer]
         pos = start + jnp.arange(T, dtype=jnp.int32)  # [T]
         page = jnp.take_along_axis(
             self.page_table, (pos // ps)[None].repeat(B, 0), axis=1
@@ -219,22 +240,21 @@ class PagedKVCache:
         pg = page[:, :, None]
         h = jnp.arange(H)[None, None, :]
         of = off[:, :, None]
-        changes: dict[str, Any] = {}
         if self.quantized:
             qk, sk = self._quantize(k_new)
             qv, sv = self._quantize(v_new)
-            changes = dict(
-                k_pages=self.k_pages.at[layer, pg, h, of].set(qk),
-                v_pages=self.v_pages.at[layer, pg, h, of].set(qv),
-                k_scale=self.k_scale.at[layer, pg, h, of].set(sk),
-                v_scale=self.v_scale.at[layer, pg, h, of].set(sv),
+            return self._replace_layer(
+                layer,
+                k_pages=kp.at[pg, h, of].set(qk),
+                v_pages=vp.at[pg, h, of].set(qv),
+                k_scale=self.k_scale[layer].at[pg, h, of].set(sk),
+                v_scale=self.v_scale[layer].at[pg, h, of].set(sv),
             )
-        else:
-            changes = dict(
-                k_pages=self.k_pages.at[layer, pg, h, of].set(k_new.astype(self.k_pages.dtype)),
-                v_pages=self.v_pages.at[layer, pg, h, of].set(v_new.astype(self.v_pages.dtype)),
-            )
-        return dataclasses.replace(self, **changes)
+        return self._replace_layer(
+            layer,
+            k_pages=kp.at[pg, h, of].set(k_new.astype(kp.dtype)),
+            v_pages=vp.at[pg, h, of].set(v_new.astype(vp.dtype)),
+        )
 
     def advance(self, n: jax.Array) -> "PagedKVCache":
         return dataclasses.replace(self, length=self.length + n)
@@ -254,25 +274,33 @@ class PagedKVCache:
         L, H, T, D = k_seq.shape
         ps = self.page_size
         n = T // ps
-        # [L, H, T, D] -> [L, n, H, ps, D]
+        # [L, H, T, D] -> per layer [n, H, ps, D]
         k_c = k_seq.reshape(L, H, n, ps, D).transpose(0, 2, 1, 3, 4)
         v_c = v_seq.reshape(L, H, n, ps, D).transpose(0, 2, 1, 3, 4)
         # only the first n_pages_used chunks are real; scatter the rest to a
         # harmless target (page `pages[i]` repeated — overwritten later)
         changes: dict[str, Any] = dict(
-            k_pages=self.k_pages.at[:, pages[:n]].set(k_c.astype(self.k_pages.dtype)),
-            v_pages=self.v_pages.at[:, pages[:n]].set(v_c.astype(self.v_pages.dtype)),
+            k_pages=tuple(
+                self.k_pages[l].at[pages[:n]].set(k_c[l].astype(self.k_pages[l].dtype))
+                for l in range(L)
+            ),
+            v_pages=tuple(
+                self.v_pages[l].at[pages[:n]].set(v_c[l].astype(self.v_pages[l].dtype))
+                for l in range(L)
+            ),
             page_table=jax.lax.dynamic_update_slice(
                 self.page_table, pages[None, : self.page_table.shape[1]], (slot, 0)
             ),
             length=self.length.at[slot].set(length),
         )
         if self.quantized:
-            changes["k_scale"] = self.k_scale.at[:, pages[:n]].set(
-                k_scale.reshape(L, H, n, ps).transpose(0, 2, 1, 3)
+            k_sc = k_scale.reshape(L, H, n, ps).transpose(0, 2, 1, 3)
+            v_sc = v_scale.reshape(L, H, n, ps).transpose(0, 2, 1, 3)
+            changes["k_scale"] = tuple(
+                self.k_scale[l].at[pages[:n]].set(k_sc[l]) for l in range(L)
             )
-            changes["v_scale"] = self.v_scale.at[:, pages[:n]].set(
-                v_scale.reshape(L, H, n, ps).transpose(0, 2, 1, 3)
+            changes["v_scale"] = tuple(
+                self.v_scale[l].at[pages[:n]].set(v_sc[l]) for l in range(L)
             )
         del n_pages_used
         return dataclasses.replace(self, **changes)

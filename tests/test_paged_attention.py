@@ -45,8 +45,8 @@ def make_paged(rng, B, Hkv, D, n_pages, ps, maxp, lengths, layers=1):
             k_dense[:, b, :, i * ps : (i + 1) * ps] = kc
             v_dense[:, b, :, i * ps : (i + 1) * ps] = vc
     cache = PagedKVCache(
-        k_pages=jnp.asarray(kp, jnp.bfloat16),
-        v_pages=jnp.asarray(vp, jnp.bfloat16),
+        k_pages=tuple(jnp.asarray(kp[l], jnp.bfloat16) for l in range(layers)),
+        v_pages=tuple(jnp.asarray(vp[l], jnp.bfloat16) for l in range(layers)),
         page_table=jnp.asarray(pt),
         length=jnp.asarray(lengths, jnp.int32),
     )
@@ -114,14 +114,14 @@ def test_paged_int8_matches_dense(B, lengths, softcap, window, rng):
     """int8 pages read in place by the kernel vs the dequantized XLA path."""
     Hq, Hkv, D, ps, maxp, n_pages = 8, 2, 128, 16, 8, 24
     cache, k_dense, v_dense = make_paged(rng, B, Hkv, D, n_pages, ps, maxp, lengths)
-    kp = np.asarray(cache.k_pages, np.float32)
-    vp = np.asarray(cache.v_pages, np.float32)
+    kp = np.stack([np.asarray(p, np.float32) for p in cache.k_pages])
+    vp = np.stack([np.asarray(p, np.float32) for p in cache.v_pages])
     qk, sk = quantize_rows(kp)
     qv, sv = quantize_rows(vp)
     qcache = PagedKVCache(
-        k_pages=jnp.asarray(qk), v_pages=jnp.asarray(qv),
+        k_pages=(jnp.asarray(qk[0]),), v_pages=(jnp.asarray(qv[0]),),
         page_table=cache.page_table, length=cache.length,
-        k_scale=jnp.asarray(sk), v_scale=jnp.asarray(sv),
+        k_scale=(jnp.asarray(sk[0]),), v_scale=(jnp.asarray(sv[0]),),
     )
     assert qcache.quantized and paged_decode_supported(qcache, 1, Hq)
     q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)) * 0.3, jnp.bfloat16)
