@@ -55,7 +55,10 @@ def main() -> None:
     ap.add_argument("--ctx", type=int, default=8192)
     ap.add_argument("--prefill", type=int, default=4096)
     ap.add_argument("--tokens", type=int, default=64)
-    ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--page-size", type=int, default=None,
+                    help="paged KV page length (default: engine's "
+                         "geometry-aware pick — 64, or 256 for MQA "
+                         "long-context)")
     args = ap.parse_args()
 
     from gemma_tpu.models import GEMMA_2B, GEMMA_7B
@@ -91,6 +94,8 @@ def main() -> None:
         )
         tps = measure_decode(eng, prompt, args.tokens)
         results[name] = round(tps, 2)
+        if paged:
+            results["page_size_resolved"] = eng.ecfg.page_size
         print(f"[+{time.time()-t0:.1f}s] {name}: {tps:.2f} tok/s", file=sys.stderr, flush=True)
 
     print(
