@@ -83,6 +83,7 @@ class Scheduler:
         speculative: bool = False,
         spec_k: int = 7,
         spec_pipeline: int = 2,
+        spec_block: int = 4,
     ):
         """`prefill_engine` (optional) runs admission prefills on a different
         engine than the decode batch — prefill/decode disaggregation: the
@@ -114,7 +115,14 @@ class Scheduler:
         compute (the standalone driver's double-buffering, speculative.py
         generate). Finish decisions lag by the pipeline depth, so finished
         slots may decode a few discarded ticks (same trade as step_block);
-        the emitted streams are unchanged. 1 = synchronous ticks."""
+        the emitted streams are unchanged. 1 = synchronous ticks.
+
+        `spec_block`: batched verify ticks chained per dispatch, drained
+        with ONE packed host fetch. Through a remote tunnel the fetch of a
+        tick's (tokens, counts) measures ~46 ms against ~5 ms of tick
+        compute (tools/probe_spec_serving.py) — per-tick drains made
+        serving speculation SLOWER than plain decode; blockifying restores
+        it (same trade as step_block: admissions/finishes every block)."""
         self.engine = engine
         self.prefill_engine = prefill_engine or engine
         if prefill_engine is not None:
@@ -158,9 +166,9 @@ class Scheduler:
                 raise ValueError("speculative scheduling requires greedy sampling")
             if engine.ecfg.paged:
                 raise ValueError("speculative scheduling requires the dense cache")
-            from .speculative import SpecDecoder
+            from .speculative import get_decoder
 
-            self.spec = SpecDecoder(engine, k=spec_k, block=1)
+            self.spec = get_decoder(engine, k=spec_k, block=max(1, int(spec_block)))
             self._spec_depth = max(1, int(spec_pipeline))
             self._spec_pending: collections.deque = collections.deque()
             L = engine.ecfg.max_seq_len + spec_k + 2
@@ -170,6 +178,9 @@ class Scheduler:
                 jnp.zeros((self.max_batch, L), jnp.int32),
                 jnp.zeros(self.max_batch, jnp.int32),
             )
+        # pipelined plain-block state (run(block) keeps 2 blocks in flight)
+        self._plain_pending: collections.deque = collections.deque()
+        self._plain_depth = 2
         # per-slot next-token logits, merged into one [B, vocab] batch
         self._logits = jnp.zeros((self.max_batch, engine.cfg.vocab_size), jnp.float32)
         self._steps = 0
@@ -362,62 +373,69 @@ class Scheduler:
     def _spec_full_limit(self) -> int:
         # active slots must always have write headroom: every in-flight tick
         # writes k+1 rows past the slot's length, and with a `_spec_depth`
-        # pipeline up to depth ticks land before the host can stop the slot
-        # (the per-seq chunk write clamps rather than overflows, and a clamp
-        # on an ACTIVE slot would corrupt its valid rows)
-        return self.engine.ecfg.max_seq_len - (self._spec_depth + 1) * (self.spec.k + 1)
+        # pipeline of `block`-tick dispatches up to depth*block ticks land
+        # before the host can stop the slot (the per-seq chunk write clamps
+        # rather than overflows, and a clamp on an ACTIVE slot would corrupt
+        # its valid rows)
+        return self.engine.ecfg.max_seq_len - (
+            self._spec_depth * self.spec.block + 1
+        ) * (self.spec.k + 1)
 
     def _spec_issue(self) -> bool:
-        """Admit, then dispatch one batched speculative tick WITHOUT a host
-        sync; its (emitted, counts) device handles queue in _spec_pending
-        with a snapshot of which request occupied each slot at issue time."""
+        """Admit, then dispatch one BLOCK of chained batched speculative
+        ticks WITHOUT a host sync; the packed [n, B, k+2] device handle
+        queues in _spec_pending with a snapshot of which request occupied
+        each slot at issue time."""
         self._advance_admissions()
         self._admit()
         if not self.active:
             return False
         tc, tp, hist, hlen = self._sp_carry
-        tc, tp, hist, hlen, g, n_emit, self.cache = self.spec._batch_step(
+        tc, tp, hist, hlen, packed, self.cache = self.spec._batch_block(
             self.engine.params, tc, tp, hist, hlen, self.cache
         )
         self._sp_carry = (tc, tp, hist, hlen)
-        self._steps += 1
-        self._spec_forwards += 1
-        self._spec_pending.append((g, n_emit, list(self.active.items())))
+        self._steps += self.spec.block
+        self._spec_forwards += self.spec.block
+        self._spec_pending.append((packed, list(self.active.items())))
         return True
 
     def _spec_drain(self) -> list[tuple[str, int]]:
-        """Sync the oldest in-flight tick and emit its tokens. Requests that
-        finished in an earlier drain (pipeline lag) discard their rows."""
-        g, n_emit, snapshot = self._spec_pending.popleft()
-        g_np = np.asarray(g)
-        n_np = np.asarray(n_emit)
+        """Sync the oldest in-flight block (ONE packed fetch) and emit its
+        ticks' tokens in order. Requests that finished in an earlier drain
+        or earlier tick of this block (pipeline/block lag) discard rows."""
+        packed, snapshot = self._spec_pending.popleft()
+        p_np = np.asarray(packed)  # [n, B, k+2]
+        k1 = p_np.shape[2] - 1
         now = time.monotonic()
         emitted: list[tuple[str, int]] = []
         full_limit = self._spec_full_limit()
-        for slot, req in snapshot:
-            c = int(n_np[slot])
-            if req.done:
-                self._tokens_discarded += c
-                continue
-            for j in range(c):
-                t = int(g_np[slot, j])
-                req.tokens.append(t)
-                emitted.append((req.id, t))
-                if self.on_token is not None:
-                    self.on_token(req, t)
-                hit_eos = req.eos_id is not None and t == req.eos_id
-                full = len(req.prompt) + len(req.tokens) >= full_limit
-                if hit_eos or full or len(req.tokens) >= req.max_new_tokens:
-                    self._finish(slot, req, now)
-                    self._tokens_discarded += c - 1 - j
-                    break
+        for i in range(p_np.shape[0]):
+            for slot, req in snapshot:
+                c = int(p_np[i, slot, k1])
+                if req.done:
+                    self._tokens_discarded += c
+                    continue
+                for j in range(c):
+                    t = int(p_np[i, slot, j])
+                    req.tokens.append(t)
+                    emitted.append((req.id, t))
+                    if self.on_token is not None:
+                        self.on_token(req, t)
+                    hit_eos = req.eos_id is not None and t == req.eos_id
+                    full = len(req.prompt) + len(req.tokens) >= full_limit
+                    if hit_eos or full or len(req.tokens) >= req.max_new_tokens:
+                        self._finish(slot, req, now)
+                        self._tokens_discarded += c - 1 - j
+                        break
         return emitted
 
     def step_spec(self) -> list[tuple[str, int]]:
-        """One SYNCHRONOUS batched speculative tick: every active slot
-        drafts spec_k tokens, verifies them in one shared forward, and emits
-        its accepted prefix + correction (1..k+1 tokens) — exact greedy
-        streams. (Scheduler.run pipelines `_spec_depth` ticks instead.)"""
+        """One SYNCHRONOUS speculative block: every active slot drafts
+        spec_k tokens per tick and verifies them in one shared forward,
+        `spec_block` ticks chained per dispatch — each slot emits
+        1..spec_block*(spec_k+1) tokens, exact greedy streams.
+        (Scheduler.run pipelines `_spec_depth` blocks instead.)"""
         if not self._spec_issue():
             return []
         return self._spec_drain()
@@ -495,6 +513,55 @@ class Scheduler:
         self._steps += n
         return emitted
 
+    # -- pipelined plain blocks (run(block) drives these) ------------------
+    def _plain_issue(self, n: int) -> bool:
+        """Dispatch one fused decode block WITHOUT a host sync. Through a
+        remote tunnel the [B, n] token fetch costs ~46 ms against ~n*2.5 ms
+        of decode (tools/probe_spec_serving.py measured the analogous spec
+        fetch), so run() keeps two blocks in flight and each drain overlaps
+        the next block's compute."""
+        self._advance_admissions()
+        self._admit()
+        if not self.active:
+            return False
+        tb, self._logits, self.cache, self.key = self.engine._block(
+            self.engine.params, self._logits, self.key, self.cache,
+            sampling=self.sampling, n=n,
+        )
+        self._steps += n
+        self._plain_pending.append((tb, n, list(self.active.items())))
+        return True
+
+    def _plain_drain(self) -> list[tuple[str, int]]:
+        tb, n, snapshot = self._plain_pending.popleft()
+        tok_np = np.asarray(tb)  # [B, n]
+        now = time.monotonic()
+        emitted: list[tuple[str, int]] = []
+        for slot, req in snapshot:
+            if req.done:
+                self._tokens_discarded += n
+                continue
+            for j in range(n):
+                t = int(tok_np[slot, j])
+                if req.first_token_at is None:
+                    req.first_token_at = now
+                req.tokens.append(t)
+                emitted.append((req.id, t))
+                if self.on_token is not None:
+                    self.on_token(req, t)
+                hit_eos = req.eos_id is not None and t == req.eos_id
+                # finish decisions lag by the pipeline depth: keep
+                # depth*n rows of write headroom so in-flight blocks of a
+                # full slot never write past capacity
+                full = len(req.prompt) + len(req.tokens) >= (
+                    self.engine.ecfg.max_seq_len - self._plain_depth * n
+                )
+                if hit_eos or full or len(req.tokens) >= req.max_new_tokens:
+                    self._finish(slot, req, now)
+                    self._tokens_discarded += n - 1 - j
+                    break
+        return emitted
+
     def _finish(self, slot: int, req: Request, now: float) -> None:
         req.finished_at = now
         self.finished.append(req)
@@ -528,7 +595,7 @@ class Scheduler:
                 if len(self._spec_pending) < self._spec_depth:
                     issued = self._spec_issue()
                     if issued:
-                        steps += 1
+                        steps += self.spec.block
                 if self._spec_pending and (
                     not issued or len(self._spec_pending) >= self._spec_depth
                 ):
@@ -538,15 +605,31 @@ class Scheduler:
             while self._spec_pending:
                 self._spec_drain()
             return self.finished
+        if block > 1:
+            # pipelined fused blocks: the ~46 ms remote token fetch of one
+            # block overlaps the next block's decode (see _plain_issue)
+            while (self.pending or self.active or self._admitting) and (
+                max_steps is None or steps < max_steps
+            ):
+                issued = False
+                if len(self._plain_pending) < self._plain_depth:
+                    issued = self._plain_issue(block)
+                    if issued:
+                        steps += block
+                if self._plain_pending and (
+                    not issued or len(self._plain_pending) >= self._plain_depth
+                ):
+                    self._plain_drain()
+                elif not issued:
+                    break
+            while self._plain_pending:
+                self._plain_drain()
+            return self.finished
         while (self.pending or self.active or self._admitting) and (
             max_steps is None or steps < max_steps
         ):
-            if block > 1:
-                self.step_block(block)
-                steps += block
-            else:
-                self.step()
-                steps += 1
+            self.step()
+            steps += 1
         return self.finished
 
     # -- metrics -----------------------------------------------------------

@@ -52,6 +52,9 @@ def main() -> None:
                     "the run loop pipelines --spec-pipeline ticks in flight")
     ap.add_argument("--spec-k", type=int, default=7)
     ap.add_argument("--spec-pipeline", type=int, default=2)
+    ap.add_argument("--spec-block", type=int, default=4,
+                    help="chained verify ticks per dispatch (one host "
+                         "fetch per block)")
     ap.add_argument("--fill", default="zeros", choices=("zeros", "random"),
                     help="weight fill: zeros => fully repetitive greedy "
                     "streams (spec ceiling); random => mostly-incompressible "
@@ -91,7 +94,7 @@ def main() -> None:
 
     spec_kw = dict(
         speculative=args.speculative, spec_k=args.spec_k,
-        spec_pipeline=args.spec_pipeline,
+        spec_pipeline=args.spec_pipeline, spec_block=args.spec_block,
     )
 
     # warmup: compile prefill bucket + the blocked decode program
@@ -129,6 +132,7 @@ def main() -> None:
     if args.speculative:
         out["speculative"] = {
             "k": args.spec_k, "pipeline": args.spec_pipeline,
+            "spec_block": args.spec_block,
             "spec_forwards": stats["spec_forwards"],
             "tokens_discarded": stats["tokens_discarded"],
             "accepted_tokens_per_verify": round(
