@@ -84,6 +84,7 @@ class Scheduler:
         spec_k: int = 7,
         spec_pipeline: int = 2,
         spec_block: int = 4,
+        spec_min_accept: float = 2.5,
     ):
         """`prefill_engine` (optional) runs admission prefills on a different
         engine than the decode batch — prefill/decode disaggregation: the
@@ -122,7 +123,18 @@ class Scheduler:
         tick's (tokens, counts) measures ~46 ms against ~5 ms of tick
         compute (tools/probe_spec_serving.py) — per-tick drains made
         serving speculation SLOWER than plain decode; blockifying restores
-        it (same trade as step_block: admissions/finishes every block)."""
+        it (same trade as step_block: admissions/finishes every block).
+
+        `spec_min_accept`: ADAPTIVE speculation — a zero-acceptance verify
+        at spec_k=7 costs ~2.3 plain steps per emitted token (the measured
+        floor, BENCHMARKS.md), so when the rolling per-slot acceptance of
+        k=7 blocks falls below this break-even the scheduler switches to a
+        k=1 decoder (its T=2 verify rides the SAME M=8 matmul bucket as
+        plain decode — draft-hostile content then decodes at ≈ the plain
+        rate instead of 0.44x) and re-probes with one k=7 block every few
+        blocks to recover when the content turns repetitive again. Both
+        decoders share the cache/history state, so switching is free.
+        Set <= 1 to pin k=spec_k unconditionally."""
         self.engine = engine
         self.prefill_engine = prefill_engine or engine
         if prefill_engine is not None:
@@ -171,6 +183,15 @@ class Scheduler:
             self.spec = get_decoder(engine, k=spec_k, block=max(1, int(spec_block)))
             self._spec_depth = max(1, int(spec_pipeline))
             self._spec_pending: collections.deque = collections.deque()
+            self._spec_min_accept = float(spec_min_accept)
+            self._spec_lo = (
+                get_decoder(engine, k=1, block=max(1, int(spec_block)))
+                if spec_k > 1 and self._spec_min_accept > 1
+                else None
+            )
+            self._accept_ema = float(spec_k + 1)  # optimistic start
+            self._spec_probe_every = 8
+            self._lo_blocks_since_probe = 0
             L = engine.ecfg.max_seq_len + spec_k + 2
             self._sp_carry = (
                 jnp.zeros(self.max_batch, jnp.int32),
@@ -381,6 +402,19 @@ class Scheduler:
             self._spec_depth * self.spec.block + 1
         ) * (self.spec.k + 1)
 
+    def _pick_spec_decoder(self):
+        """Adaptive k (see __init__ doc): the hi decoder while rolling
+        acceptance clears break-even; the k=1 decoder otherwise, with a
+        periodic hi probe to detect recovery."""
+        if self._spec_lo is None or self._accept_ema >= self._spec_min_accept:
+            self._lo_blocks_since_probe = 0
+            return self.spec, True
+        self._lo_blocks_since_probe += 1
+        if self._lo_blocks_since_probe >= self._spec_probe_every:
+            self._lo_blocks_since_probe = 0
+            return self.spec, True  # probe
+        return self._spec_lo, False
+
     def _spec_issue(self) -> bool:
         """Admit, then dispatch one BLOCK of chained batched speculative
         ticks WITHOUT a host sync; the packed [n, B, k+2] device handle
@@ -390,23 +424,31 @@ class Scheduler:
         self._admit()
         if not self.active:
             return False
+        dec, is_hi = self._pick_spec_decoder()
         tc, tp, hist, hlen = self._sp_carry
-        tc, tp, hist, hlen, packed, self.cache = self.spec._batch_block(
+        tc, tp, hist, hlen, packed, self.cache = dec._batch_block(
             self.engine.params, tc, tp, hist, hlen, self.cache
         )
         self._sp_carry = (tc, tp, hist, hlen)
-        self._steps += self.spec.block
-        self._spec_forwards += self.spec.block
-        self._spec_pending.append((packed, list(self.active.items())))
+        self._steps += dec.block
+        self._spec_forwards += dec.block
+        self._spec_pending.append((packed, is_hi, list(self.active.items())))
         return True
 
     def _spec_drain(self) -> list[tuple[str, int]]:
         """Sync the oldest in-flight block (ONE packed fetch) and emit its
         ticks' tokens in order. Requests that finished in an earlier drain
         or earlier tick of this block (pipeline/block lag) discard rows."""
-        packed, snapshot = self._spec_pending.popleft()
+        packed, is_hi, snapshot = self._spec_pending.popleft()
         p_np = np.asarray(packed)  # [n, B, k+2]
         k1 = p_np.shape[2] - 1
+        if is_hi and snapshot:
+            # rolling per-slot tokens/verify of hi-k blocks only (a k=1
+            # block tops out at 2 and says nothing about hi-k viability)
+            live = [slot for slot, req in snapshot if not req.done]
+            if live:
+                acc = float(p_np[:, live, k1].mean())
+                self._accept_ema = 0.5 * self._accept_ema + 0.5 * acc
         now = time.monotonic()
         emitted: list[tuple[str, int]] = []
         full_limit = self._spec_full_limit()

@@ -121,16 +121,18 @@ class SpecDecoder:
     def _block_impl(self, params, carry0, cache, *, n):
         t_cur, t_prev, history, hist_len = carry0
         carry = (t_cur, t_prev, cache, history, hist_len)
-        outs, counts = [], []
+        packed = []
         for _ in range(n):
             carry, e, c = self._spec_step(params, carry)
-            outs.append(e)
-            counts.append(c)
+            packed.append(jnp.concatenate([e, c[None]]))
         t_cur, t_prev, cache, history, hist_len = carry
+        # ONE packed [n, k+2] output (tokens + count): the host drain is a
+        # single device fetch — through the remote tunnel each fetch costs
+        # ~46 ms of pure RTT (tools/probe_spec_serving.py), dwarfing the
+        # bytes moved
         return (
             (t_cur, t_prev, history, hist_len),
-            jnp.stack(outs),  # [n, k+1]
-            jnp.stack(counts),  # [n]
+            jnp.stack(packed),  # [n, k+2]
             cache,
         )
 
@@ -240,16 +242,14 @@ class SpecDecoder:
 
         def issue():
             nonlocal carry, cache
-            carry, toks, counts, cache = self._step(eng.params, carry, cache)
+            carry, packed, cache = self._step(eng.params, carry, cache)
             self.steps += self.block
-            pending.append((toks, counts))
+            pending.append(packed)
 
         def drain_one():
-            toks, counts = pending.popleft()
-            toks_np = np.asarray(toks)
-            counts_np = np.asarray(counts)
+            p_np = np.asarray(pending.popleft())  # [n, k+2], one fetch
             for i in range(self.block):
-                out.extend(int(t) for t in toks_np[i, : int(counts_np[i])])
+                out.extend(int(t) for t in p_np[i, : int(p_np[i, -1])])
 
         while len(out) < max_new_tokens:
             if len(pending) < 2:

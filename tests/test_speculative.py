@@ -144,6 +144,38 @@ def test_spec_scheduler_equals_plain(engine):
     assert got == ref
 
 
+def test_spec_adaptive_lo_mode_streams_exact(engine):
+    """Adaptive speculation: with the controller pinned into backoff
+    (acceptance 'collapsed'), the k=1 decoder serves most blocks and a
+    periodic k=7 probe still runs — and every stream stays exactly equal
+    to the plain greedy scheduler's."""
+    from gemma_tpu.runtime.scheduler import Request, Scheduler
+
+    prompts = {
+        "a": [1, 7, 9, 7, 9, 7],
+        "b": [1, 44, 260, 9, 77],
+        "c": [1, 5, 311, 42],
+    }
+
+    def run(spec, collapse=False):
+        s = Scheduler(engine, speculative=spec)
+        if spec:
+            assert s._spec_lo is not None  # adaptive decoder built
+            if collapse:
+                s._accept_ema = 0.0
+                s._spec_min_accept = 100.0  # unreachable: lo except probes
+        for rid, p in prompts.items():
+            s.submit(Request(rid, p, max_new_tokens=10))
+        s.run()
+        return {r.id: r.tokens for r in s.finished}
+
+    ref = run(False)
+    assert run(True, collapse=True) == ref
+    # pinning off (spec_min_accept<=1) must not build the lo decoder
+    s = Scheduler(engine, speculative=True, spec_min_accept=0.0)
+    assert s._spec_lo is None
+
+
 def test_spec_scheduler_eos(engine):
     from gemma_tpu.runtime.scheduler import Request, Scheduler
 
