@@ -120,7 +120,16 @@ class Engine:
         dimension to fatten the DMA, so long contexts want bigger pages
         (2B@8K: ps=64 = 0.84x dense, ps=256 = 0.92x). Short contexts keep 64
         for allocation granularity (the gap is noise at 512 ctx)."""
-        if cfg.n_kv_heads == 1 and ecfg.max_seq_len >= 2048 and ecfg.max_seq_len % 256 == 0:
+        if (
+            cfg.n_kv_heads == 1
+            and not ecfg.kv_quantized
+            and ecfg.max_seq_len >= 2048
+            and ecfg.max_seq_len % 256 == 0
+        ):
+            # bf16 MQA long-context only: int8 pages measured the OPPOSITE
+            # preference (2B@8K 4K-live: int8 ps=64 363 tok/s vs ps=256
+            # 271; bf16 ps=64 306 vs ps=256 404 — BENCHMARKS.md round 5),
+            # so quantized caches keep the 64-token granularity
             return 256
         return 64
 

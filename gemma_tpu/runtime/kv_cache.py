@@ -199,15 +199,41 @@ class KVCache:
 
     def write_token(self, layer: int, index: jax.Array, k_new: jax.Array, v_new: jax.Array) -> "KVCache":
         """Scatter a single token per sequence: k_new [B, 1, H, D] written at
-        per-batch position index[b] (decode)."""
+        per-batch position index[b] (decode). B=1 (the offline/headline
+        path) lowers to a dynamic_update_slice instead of a gather-scatter —
+        same result, cheaper lowering."""
         kb, vb = self.k[layer], self.v[layer]
         B, H = kb.shape[0], kb.shape[1]
+        if self.quantized:
+            qk, sk = self._quantize(k_new)
+            qv, sv = self._quantize(v_new)
+        else:
+            qk, qv = k_new.astype(kb.dtype), v_new.astype(vb.dtype)
+            sk = sv = None
+        if B == 1:
+            loc = (0, 0, index[0], 0)
+
+            def upd(buf, val):  # val [1, 1, H, D] -> [1, H, 1, D]
+                return jax.lax.dynamic_update_slice(
+                    buf, val.transpose(0, 2, 1, 3), loc
+                )
+
+            if self.quantized:
+                return self._replace_layer(
+                    layer,
+                    k=upd(kb, qk), v=upd(vb, qv),
+                    k_scale=jax.lax.dynamic_update_slice(
+                        self.k_scale[layer], sk.transpose(0, 2, 1), loc[:3]
+                    ),
+                    v_scale=jax.lax.dynamic_update_slice(
+                        self.v_scale[layer], sv.transpose(0, 2, 1), loc[:3]
+                    ),
+                )
+            return self._replace_layer(layer, k=upd(kb, qk), v=upd(vb, qv))
         b = jnp.arange(B)[:, None]
         h = jnp.arange(H)[None, :]
         idx = index[:, None]
         if self.quantized:
-            qk, sk = self._quantize(k_new)
-            qv, sv = self._quantize(v_new)
             return self._replace_layer(
                 layer,
                 k=kb.at[b, h, idx].set(qk[:, 0]),
@@ -217,8 +243,8 @@ class KVCache:
             )
         return self._replace_layer(
             layer,
-            k=kb.at[b, h, idx].set(k_new[:, 0].astype(kb.dtype)),
-            v=vb.at[b, h, idx].set(v_new[:, 0].astype(vb.dtype)),
+            k=kb.at[b, h, idx].set(qk[:, 0]),
+            v=vb.at[b, h, idx].set(qv[:, 0]),
         )
 
     def advance(self, n: jax.Array) -> "KVCache":

@@ -148,6 +148,10 @@ def test_auto_page_size(model):
     assert Engine._auto_page_size(GEMMA_2B, EngineConfig(max_seq_len=2048)) == 256
     assert Engine._auto_page_size(GEMMA_2B, EngineConfig(max_seq_len=512)) == 64
     assert Engine._auto_page_size(GEMMA_7B, EngineConfig(max_seq_len=8192)) == 64
+    # int8 pages measured the opposite MQA preference (BENCHMARKS round 5)
+    assert Engine._auto_page_size(
+        GEMMA_2B, EngineConfig(max_seq_len=8192, kv_quantized=True)
+    ) == 64
     # Engine.__init__ resolves None in place; explicit values pass through
     cfg, params = model
     eng = Engine(cfg, params, EngineConfig(max_seq_len=64, paged=True))
