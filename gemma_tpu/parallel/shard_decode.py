@@ -390,6 +390,31 @@ class TPEngine:
             check_vma=False,
         )
 
+        # speculative verify forward (runtime.speculative.SpecDecoder calls
+        # engine.spec_verify from inside its own jit): the [B, T=k+1]
+        # multi-position forward runs shard_mapped like decode, logits for
+        # ALL T rows are all-gathered, and the draft/acceptance/history
+        # logic stays replicated in the decoder — TP speculative serving is
+        # the same Scheduler code path as single-chip (dense cache only,
+        # which the Scheduler already enforces for speculation)
+        def verify_local(params, toks, cache):
+            T = toks.shape[1]
+            lengths = cache.length
+            positions = lengths[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+            logits, cache = gemma.forward(
+                params, lcfg, toks, positions, cache,
+                write_index=lengths, kv_limit=lengths + T, tp_axis=MODEL_AXIS,
+            )
+            full = jax.lax.all_gather(logits, MODEL_AXIS, axis=2, tiled=True)
+            return full[:, :, : cfg.vocab_size], cache
+
+        self.spec_verify = shard_map(
+            verify_local, mesh=mesh,
+            in_specs=(pspecs, bleading, cspec_tree),
+            out_specs=(bleading, cspec_tree),
+            check_vma=False,
+        )
+
         def step_impl(params, logits, key, cache, *, sampling):
             from ..runtime.sampler import sample
 

@@ -182,11 +182,17 @@ class SpecDecoder:
         drafts = jax.vmap(self._draft)(hist, hist_len, t_prev, t_cur)  # [B, k]
         toks = jnp.concatenate([t_cur[:, None], drafts], axis=1).astype(jnp.int32)
         lengths = cache.length  # [B]
-        positions = lengths[:, None] + jnp.arange(k + 1, dtype=jnp.int32)[None, :]
-        logits, cache = gemma.forward(
-            params, eng.cfg, toks, positions, cache,
-            write_index=lengths, kv_limit=lengths + k + 1,
-        )  # [B, k+1, vocab]
+        verify = getattr(eng, "spec_verify", None)
+        if verify is not None:
+            # engine-provided verify forward (TPEngine: shard_mapped layers
+            # + a logits all-gather; draft/acceptance stays replicated here)
+            logits, cache = verify(params, toks, cache)
+        else:
+            positions = lengths[:, None] + jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+            logits, cache = gemma.forward(
+                params, eng.cfg, toks, positions, cache,
+                write_index=lengths, kv_limit=lengths + k + 1,
+            )  # [B, k+1, vocab]
         g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, k+1]
         acc = jnp.cumprod((drafts == g[:, :k]).astype(jnp.int32), axis=1)
         a = jnp.sum(acc, axis=1)  # [B]

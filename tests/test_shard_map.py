@@ -224,3 +224,36 @@ def test_scheduler_drives_paged_int8_tp_engine(model):
         for r in reqs
     }
     assert got == ref
+
+
+def test_spec_scheduler_drives_tp_engine(model):
+    """TP speculative serving (TPEngine.spec_verify hook): batched
+    draft/verify ticks run the shard_mapped multi-position forward while
+    acceptance/history stay replicated in the decoder — streams must equal
+    the plain TP scheduler's greedy streams exactly."""
+    from gemma_tpu.runtime.scheduler import Request, Scheduler
+
+    cfg, params = model
+    mesh = make_mesh(1, 2, devices=jax.devices()[:2])
+
+    def reqs():
+        return [
+            Request("a", [1, 7, 300, 42], max_new_tokens=8),
+            Request("b", [1, 9], max_new_tokens=10),
+            Request("c", [1, 5, 11], max_new_tokens=6),
+        ]
+
+    tp_spec = TPEngine(cfg, params, mesh, max_seq_len=128, max_batch=2)
+    s = Scheduler(tp_spec, speculative=True, spec_k=3, spec_block=2)
+    for r in reqs():
+        s.submit(r)
+    s.run()
+    got = {r.id: r.tokens for r in s.finished}
+
+    tp_plain = TPEngine(cfg, params, mesh, max_seq_len=128, max_batch=2)
+    s2 = Scheduler(tp_plain)
+    for r in reqs():
+        s2.submit(r)
+    s2.run()
+    ref = {r.id: r.tokens for r in s2.finished}
+    assert got == ref
