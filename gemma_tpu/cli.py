@@ -319,8 +319,15 @@ def cmd_serve(args) -> int:
     sampling = SamplingParams(
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p
     )
+    speculative = args.speculative
+    if speculative and (not sampling.is_greedy or args.paged):
+        print("--speculative requires greedy sampling and the dense cache; "
+              "ignoring", file=sys.stderr)
+        speculative = False
     t0 = time.monotonic()
-    sched = serve(eng, reqs, sampling=sampling, block=args.block, seed=args.seed)
+    sched = serve(eng, reqs, sampling=sampling, block=args.block,
+                  seed=args.seed, speculative=speculative,
+                  spec_k=args.spec_k, spec_block=args.spec_block)
     wall = time.monotonic() - t0
     for r in sorted(sched.finished, key=lambda r: int(r.id[1:])):
         print(json.dumps({"id": r.id, "text": tok.decode(r.tokens),
@@ -485,6 +492,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--top-p", type=float, default=1.0)
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--no-eos", dest="eos", action="store_false")
+    s.add_argument("--speculative", action="store_true",
+                   help="batched prompt-lookup speculation (greedy + dense "
+                   "cache): every slot drafts+verifies spec-k tokens per "
+                   "tick, adaptive-k backoff on draft-hostile content")
+    s.add_argument("--spec-k", type=int, default=7)
+    s.add_argument("--spec-block", type=int, default=4,
+                   help="chained verify ticks per dispatch")
     s.set_defaults(fn=cmd_serve)
 
     q = sub.add_parser("quantize", help="re-quantize a checkpoint natively")

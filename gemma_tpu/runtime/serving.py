@@ -40,6 +40,9 @@ def serve(
     transport=None,
     route_across_hosts: bool = True,
     on_token=None,
+    speculative: bool = False,
+    spec_k: int = 7,
+    spec_block: int = 4,
 ) -> Scheduler:
     """Drive `requests` to completion; returns the finished Scheduler
     (results in `.finished`, metrics in `.stats()`).
@@ -57,6 +60,8 @@ def serve(
         a decode-role process fetches admission prefills from it (each KV
         chunk crosses the process boundary via the byte-exact serialized
         tuple).
+    speculative/spec_k/spec_block: batched prompt-lookup speculation
+        (greedy + dense cache; adaptive-k — see Scheduler).
     """
     reqs = list(requests)
     if route_across_hosts and jax.process_count() > 1:
@@ -82,6 +87,7 @@ def serve(
         sched = Scheduler(
             engine, sampling=sampling, seed=seed, on_token=on_token,
             prefill_engine=prefill_engine,
+            speculative=speculative, spec_k=spec_k, spec_block=spec_block,
         )
         for r in reqs:
             sched.submit(r)
