@@ -64,7 +64,12 @@ def param_stream_bytes(params) -> int:
 # /root/reference/src/kernals.cl:13-34 block layouts). The honest roofline
 # denominator: tokens/s ÷ (HBM BW ÷ wire bytes) cannot be gamed by an
 # implementation storing MORE bytes per weight than the reference would.
-_WIRE_BPW = {"q4_0": 4.5, "q8_0": 8.5, "q4_k": 4.5, "q6_k": 6.5625}
+_WIRE_BPW = {
+    "q4_0": 4.5, "q8_0": 8.5, "q4_k": 4.5,
+    # both device layouts of Q6_K (shape-selected, qtensor.from_ggml)
+    # store the SAME ggml wire format
+    "q6_k": 6.5625, "q6_k_v4": 6.5625,
+}
 
 
 def ggml_wire_bytes(params) -> int:

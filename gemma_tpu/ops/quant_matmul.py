@@ -143,6 +143,22 @@ def _q4_k_kernel(x_ref, xs_ref, qs_ref, meta_ref, o_ref, acc_ref, *, nsteps, f32
     _acc_step(acc_ref, x_ref, w, nsteps, o_ref)
 
 
+def _q6_k_v4_kernel(x_ref, qs_ref, sc8_ref, d_ref, o_ref, acc_ref, *, nsteps, f32dot):
+    # deep-K q6_k: int8 payload x per-16 effective scale (one convert + one
+    # multiply class). Shape-selected at load: on K>=8192 tensors the v5
+    # 2-bit extraction measures slower than its DMA saving
+    # (qtensor.pack_q6_k_v4 has the numbers).
+    _init_acc(acc_ref)
+    qf = qs_ref[...].astype(jnp.float32)
+    bk, bn = qf.shape
+    S = bk // 256
+    dv = d_ref[...].astype(jnp.float32).reshape(S, 4, bn)
+    d = dv[:, 0:1, :] + dv[:, 1:2, :]
+    sc = (sc8_ref[...].astype(jnp.float32).reshape(S, 16, bn) * d).reshape(bk // 16, bn)
+    w = _group_scale(qf, sc, f32dot)
+    _acc_step(acc_ref, x_ref, w, nsteps, o_ref)
+
+
 def _q6_k_kernel(x_ref, xs_ref, ql_ref, qh_ref, sc8_ref, d_ref, o_ref, acc_ref, *, nsteps, f32dot):
     # layout v5 split-plane (6.75 bpw vs v4's 8.75): the 6-bit value
     # reconstructs as q = s4 + 16*hi2 - 24 — s4 rides the same one-bitcast
@@ -181,12 +197,14 @@ _FMT_ARRAYS = {
     "q8_0": ("qs", "scales"),
     "q4_k": ("qs", "meta"),
     "q6_k": ("ql", "qh", "sc8", "d"),
+    "q6_k_v4": ("qs", "sc8", "d"),
 }
 _FMT_KERNELS = {
     "q4_0": _q4_0_kernel,
     "q8_0": _q8_0_kernel,
     "q4_k": _q4_k_kernel,
     "q6_k": _q6_k_kernel,
+    "q6_k_v4": _q6_k_v4_kernel,
 }
 # Minimum K-tile alignment per format: every metadata array's K-tile
 # (bk * rows/K sublanes) must be a multiple of its dtype's native sublane
@@ -194,10 +212,10 @@ _FMT_KERNELS = {
 #   q4_0/q8_0: bf16 scales [K/32, N]  -> bk % 512 == 0
 #   q4_k: int8 meta [3K/32, N]        -> 3bk/32 % 32 -> bk % 1024 == 0
 #   q6_k: bf16 d [K/64, N]            -> bk % 1024 == 0
-_FMT_BK_ALIGN = {"q4_0": 512, "q8_0": 512, "q4_k": 1024, "q6_k": 1024}
+_FMT_BK_ALIGN = {"q4_0": 512, "q8_0": 512, "q4_k": 1024, "q6_k": 1024, "q6_k_v4": 1024}
 # rank-reduced affine fold: group size of the xsum side input (None = none)
 # (q6_k v5: the -24 reconstruction offset folds at per-16 granularity)
-_FMT_XSUM_GROUP = {"q4_0": None, "q8_0": None, "q4_k": 32, "q6_k": 16}
+_FMT_XSUM_GROUP = {"q4_0": None, "q8_0": None, "q4_k": 32, "q6_k": 16, "q6_k_v4": None}
 
 
 def _pick_bk(K: int, fmt: str) -> int | None:

@@ -98,7 +98,13 @@ def _hi_lo(x16: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 # payload array + K-rows-per-payload-row, per format (shape derivation)
-_PAYLOAD = {"q4_0": ("qs", 2), "q8_0": ("qs", 1), "q4_k": ("qs", 2), "q6_k": ("ql", 2)}
+_PAYLOAD = {
+    "q4_0": ("qs", 2),
+    "q8_0": ("qs", 1),
+    "q4_k": ("qs", 2),
+    "q6_k": ("ql", 2),
+    "q6_k_v4": ("qs", 1),
+}
 
 
 @jax.tree_util.register_pytree_node_class
@@ -235,6 +241,56 @@ def _pack_hi2_planes(hi2_t: np.ndarray) -> np.ndarray:
     return qh.reshape(Kk // 4, Nn)
 
 
+def pack_q6_k_v4(raw, shape) -> dict[str, np.ndarray]:
+    # deep-K variant (fmt "q6_k_v4"): plain int8 payload (q-32) + exact
+    # int8 sc8 + bf16 hi/lo d = 8.75 bpw. Kept alongside v5 because the
+    # layout choice is SHAPE-dependent, measured end-to-end (2B b1): on
+    # K=16384 tensors (ffn_down) the v5 2-bit extraction chain costs more
+    # than 2 bpw of DMA buys (kernel: 59.5 us int8 vs 63.4 split at the
+    # ffn_down decode shape; pure-q6_k model 253.1 tok/s v4 vs 235.5 v5),
+    # while shallow-K/wide-N tensors (lm_head, attn_v, gate_up) win with
+    # v5 (q4_k_m 333.0 v5 vs 311.7 v4). from_ggml picks per tensor.
+    rows, cols = shape
+    nsb = cols // 256
+    b = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(rows, nsb, 210)
+    ql = b[:, :, 0:128]
+    qh = b[:, :, 128:192]
+    sc8 = b[:, :, 192:208].view(np.int8).reshape(rows, nsb, 16)
+    d = b[:, :, 208:210].copy().view("<f2").reshape(rows, nsb)
+    d_hi, d_lo = _hi_lo(d)
+    d4 = np.empty((rows, nsb, 4), dtype=SCALE_DTYPE)
+    d4[:, :, 0::2] = d_hi[:, :, None]
+    d4[:, :, 1::2] = d_lo[:, :, None]
+    d4 = d4.reshape(rows, cols // 64)
+    q = np.empty((rows, nsb, 256), dtype=np.uint8)
+    for n in range(2):
+        lq = ql[:, :, n * 64 : n * 64 + 64]
+        hq = qh[:, :, n * 32 : n * 32 + 32]
+        base = n * 128
+        q[:, :, base : base + 32] = (lq[:, :, :32] & 0x0F) | (((hq >> 0) & 3) << 4)
+        q[:, :, base + 32 : base + 64] = (lq[:, :, 32:] & 0x0F) | (((hq >> 2) & 3) << 4)
+        q[:, :, base + 64 : base + 96] = (lq[:, :, :32] >> 4) | (((hq >> 4) & 3) << 4)
+        q[:, :, base + 96 : base + 128] = (lq[:, :, 32:] >> 4) | (((hq >> 6) & 3) << 4)
+    qp = (q.reshape(rows, cols).astype(np.int16) - 32).astype(np.int8)
+    return {
+        "qs": _t(qp),
+        "sc8": _t(sc8.reshape(rows, cols // 16)),
+        "d": _t(d4),
+    }
+
+
+# K-depth above which q6_k tensors keep the int8 payload (see pack_q6_k_v4).
+# OFF by default (0): kernel-level data says the split-plane extraction
+# loses to its DMA saving at the ffn_down shape (63.4 vs 59.5 us), but the
+# end-to-end mixed run measured WORSE than either pure layout inside the
+# same session's ~8 % tunnel drift (215 vs 235/253 tok/s) — an unproven
+# win stays off. Tune with GEMMA_TPU_Q6K_DEEPK=<K> (e.g. 8192).
+def q6k_deep_k() -> int:
+    import os
+
+    return int(os.environ.get("GEMMA_TPU_Q6K_DEEPK", "0") or 0)
+
+
 def pack_q6_k(raw, shape) -> dict[str, np.ndarray]:
     # device format v5 (split-plane, 6.75 bpw vs ggml wire 6.5625; v4's
     # plain int8 payload was 8.75 and measured DMA-bound): the 6-bit value
@@ -285,6 +341,7 @@ _PACKERS = {
     "q8_0": (GGMLType.Q8_0, pack_q8_0),
     "q4_k": (GGMLType.Q4_K, pack_q4_k),
     "q6_k": (GGMLType.Q6_K, pack_q6_k),
+    "q6_k_v4": (GGMLType.Q6_K, pack_q6_k_v4),
 }
 
 GGML_TO_FMT = {
@@ -298,11 +355,22 @@ GGML_TO_FMT = {
 def from_ggml(raw, ggml_type: GGMLType, shape: tuple[int, int]) -> QTensor:
     """Convert a ggml-format payload into a device-layout QTensor (host side;
     arrays stay numpy until device_put). Uses the native (C++) parallel
-    repacker when available; numpy otherwise (bit-identical layouts)."""
+    repacker when available; numpy otherwise (bit-identical layouts).
+
+    Q6_K can pick its device layout per tensor SHAPE (GEMMA_TPU_Q6K_DEEPK,
+    off by default — see q6k_deep_k): deep-K tensors keep the int8 payload
+    ("q6_k_v4", 8.75 bpw; the split-plane extraction chain measures slower
+    than its DMA saving at the ffn_down kernel shape); everything else
+    gets the 6.75-bpw split-plane "q6_k" (pack_q6_k / pack_q6_k_v4)."""
     fmt = GGML_TO_FMT[ggml_type]
+    deep = q6k_deep_k()
+    if ggml_type == GGMLType.Q6_K and deep and shape[1] >= deep:
+        fmt = "q6_k_v4"
     from .. import native
 
-    arrays = native.repack(raw, ggml_type, shape)
+    arrays = (
+        native.repack(raw, ggml_type, shape) if fmt != "q6_k_v4" else None
+    )
     if arrays is None:
         arrays = _PACKERS[fmt][1](raw, shape)
     return QTensor(fmt, arrays)
@@ -362,6 +430,15 @@ def dequant_t(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
         x = (
             q.reshape(K // 32, 32, N) * sc[:, None, :] + offs[:, None, :]
         ).reshape(K, N)
+    elif qt.fmt == "q6_k_v4":
+        # deep-K int8 payload (see pack_q6_k_v4)
+        q = a["qs"].astype(jnp.float32)
+        S = K // 256
+        dv = a["d"].astype(jnp.float32).reshape(S, 4, N)
+        d = dv[:, 0, :] + dv[:, 1, :]
+        sc = (a["sc8"].astype(jnp.float32).reshape(S, 16, N) * d[:, None, :])
+        sc = sc.reshape(K // 16, N)
+        x = (q.reshape(K // 16, 16, N) * sc[:, None, :]).reshape(K, N)
     elif qt.fmt == "q6_k":
         # v5 split-plane: q = s4 + 16*hi2 - 24, exact integers
         s4 = _unpack_signed_pairs(a["ql"])

@@ -110,13 +110,25 @@ def make_params(
             ).reshape(3 * cols // 32, rows)
             arrays = {"qs": payload((cols // 2, rows), np.uint8), "meta": meta}
         elif fmt == "q6_k":
-            # split-plane layout v5 (see qtensor.pack_q6_k)
-            arrays = {
-                "ql": payload((cols // 2, rows), np.uint8),
-                "qh": payload((cols // 4, rows), np.uint8),
-                "sc8": sub_scales((cols // 16, rows)),
-                "d": scales((cols // 64, rows)),
-            }
+            # per-shape layout, matching qtensor.from_ggml: deep-K tensors
+            # keep the int8 payload ("q6_k_v4"), others the v5 split-plane
+            from .quant.qtensor import q6k_deep_k
+
+            deep = q6k_deep_k()
+            if deep and cols >= deep:
+                fmt = "q6_k_v4"
+                arrays = {
+                    "qs": payload((cols, rows), np.int8),
+                    "sc8": sub_scales((cols // 16, rows)),
+                    "d": scales((cols // 64, rows)),
+                }
+            else:
+                arrays = {
+                    "ql": payload((cols // 2, rows), np.uint8),
+                    "qh": payload((cols // 4, rows), np.uint8),
+                    "sc8": sub_scales((cols // 16, rows)),
+                    "d": scales((cols // 64, rows)),
+                }
         else:
             raise ValueError(fmt)
         return QTensor(fmt, arrays)

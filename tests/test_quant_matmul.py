@@ -47,6 +47,23 @@ def test_kernel_matches_dequant_reference(fmt, shape, m, rng):
     np.testing.assert_allclose(got, ref, atol=2e-2 * scale, rtol=2e-2)
 
 
+def test_q6k_v4_kernel_matches(rng, monkeypatch):
+    """The deep-K int8-payload q6_k variant (GEMMA_TPU_Q6K_DEEPK) runs its
+    own kernel; both M buckets must match the dequant reference."""
+    monkeypatch.setenv("GEMMA_TPU_Q6K_DEEPK", "8192")
+    w = quantize_array(rng.normal(size=(128, 8192)).astype(np.float32), "q6_k")
+    assert w.fmt == "q6_k_v4"
+    for m in (1, 9):
+        x = jnp.asarray(rng.normal(size=(m, 8192)).astype(np.float32), jnp.bfloat16)
+        assert supports(x.shape, w)
+        got = np.asarray(quant_matmul(x, w))
+        ref = np.asarray(
+            jnp.dot(x, dequant(w, jnp.bfloat16).T, preferred_element_type=jnp.float32)
+        )
+        scale = np.abs(ref).max() + 1e-6
+        np.testing.assert_allclose(got, ref, atol=2e-2 * scale, rtol=2e-2)
+
+
 def test_batched_leading_dims(rng):
     w = quantize_array(rng.normal(size=(128, 512)).astype(np.float32), "q4_0")
     x = jnp.asarray(rng.normal(size=(2, 3, 512)), jnp.bfloat16)

@@ -197,13 +197,18 @@ def verify(arrays):
     sc = sc8.astype(np.float32).reshape(K // 256, 16, N) * dd[:, None, :]
     w = q.astype(np.float32).reshape(K // 16, 16, N) * sc.reshape(K // 16, 1, N)
     ref = np.asarray(x, np.float32) @ w.reshape(K, N)
+    # tolerance: on real TPU the f32 dot lowers to default-precision MXU
+    # passes (~1e-3 rel vs the numpy f64-accumulated reference); interpret
+    # mode is exact. The production-kernel numerics gate is the ppl gate +
+    # --verify, not this synthetic check.
+    tol = 1e-2 if jax.default_backend() == "tpu" else 2e-5
     for mode in ("prod", "split_f32", "split_int"):
         call = build_call(mode, arrays)
         got = np.asarray(jax.jit(call)(x, arrays[6]))
         err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-9)
-        status = "ok" if err < 2e-5 else "MISMATCH"
+        status = "ok" if err < tol else "MISMATCH"
         print(f"  verify {mode:10s} rel_err={err:.2e} {status}")
-        assert err < 2e-5, (mode, err)
+        assert err < tol, (mode, err)
 
 
 def measure(mode, arrays, reps=5, r=32):
